@@ -1,0 +1,184 @@
+"""Chromosome models: gated GCN (ChromeGCN) and BiLSTM baseline (ChromeRNN).
+
+Whole-chromosome refinement: all window feature vectors of one chromosome
+(N x d) are refined jointly over the Hi-C adjacency, then re-classified.
+
+Equations (reference: models/ChromeModels.py:34-52):
+    z_l   = tanh(GC_l(x, A))            GC: X W + b then A (X W)  [SpMM]
+    g_l   = sigmoid(W_l z_l)            per-node scalar gate
+    x     = (1 - g_l) * x + g_l * z_l   gated residual update
+    out   = Linear(Dropout(BatchNorm(ReLU(x))))
+
+The SpMM runs through chromegcn_tpu.ops.spmm (Pallas on TPU). BatchNorm is
+masked so padded nodes don't pollute the statistics (the torch reference
+had ragged N and no padding; reference: models/ChromeModels.py:49).
+
+Note: the reference constructs ChromeGCN with a ``gate`` flag but the
+forward path always gates (reference: models/ChromeModels.py:34-46); we
+preserve that behavior and keep the flag for config parity only.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from chromegcn_tpu.models.norm import MaskedBatchNorm
+from chromegcn_tpu.ops.sparse import SparseGraph
+from chromegcn_tpu.ops.spmm import spmm
+
+
+def _xavier_normal_gain(gain: float):
+    """Xavier-normal with explicit gain (reference: models/SubLayers.py:33 uses
+    gain=0.02, an unusually small init that the published results depend on)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        fan_in, fan_out = shape[0], shape[1]
+        std = gain * jnp.sqrt(2.0 / (fan_in + fan_out))
+        return jax.random.normal(key, shape, dtype) * std
+
+    return init
+
+
+class GraphConvolution(nn.Module):
+    """X W then SpMM(A, X W) + b (reference: models/SubLayers.py:7-57).
+
+    The dense X W GEMM hits the MXU; the aggregation is the Pallas/XLA SpMM.
+    """
+
+    out_features: int
+    use_bias: bool = True
+    init: str = "xavier"
+    spmm_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, graph: Optional[SparseGraph]) -> jax.Array:
+        in_features = x.shape[-1]
+        if self.init == "xavier":
+            w_init = _xavier_normal_gain(0.02)
+        elif self.init == "kaiming":
+            w_init = nn.initializers.kaiming_normal()
+        elif self.init == "uniform":
+            bound = 1.0 / jnp.sqrt(self.out_features)
+            w_init = nn.initializers.uniform(scale=2 * bound)  # approx; see tests
+        else:
+            raise NotImplementedError(self.init)
+        weight = self.param("weight", w_init, (in_features, self.out_features))
+        support = jnp.dot(x, weight, preferred_element_type=jnp.float32)
+        out = spmm(graph, support, impl=self.spmm_impl) if graph is not None else support
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.out_features,))
+            out = out + bias
+        return out
+
+
+class ChromeGCN(nn.Module):
+    """Gated residual 2-layer GCN head (reference: models/ChromeModels.py:21-52)."""
+
+    nfeat: int = 128
+    nhid: int = 128
+    nclass: int = 919
+    dropout: float = 0.2
+    gate: bool = True  # kept for config parity; forward always gates (see module doc)
+    layers: int = 2
+    spmm_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        x_in: jax.Array,
+        graph: Optional[SparseGraph],
+        train: bool,
+        node_mask: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array, Tuple[jax.Array, Optional[jax.Array]]]:
+        """Returns (x_refined, logits, (gate1, gate2)) for N x d node features."""
+        if node_mask is None and graph is not None:
+            node_mask = graph.node_mask
+
+        x = x_in
+        z = GraphConvolution(self.nhid, spmm_impl=self.spmm_impl, name="GC1")(x, graph)
+        z = jnp.tanh(z)
+        g = jax.nn.sigmoid(nn.Dense(1, name="W1")(z))
+        x = (1.0 - g) * x + g * z
+
+        g2 = None
+        if self.layers == 2:
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+            z2 = GraphConvolution(self.nfeat, spmm_impl=self.spmm_impl, name="GC2")(x, graph)
+            z2 = jnp.tanh(z2)
+            g2 = jax.nn.sigmoid(nn.Dense(1, name="W2")(z2))
+            x = (1.0 - g2) * x + g2 * z2
+
+        h = nn.relu(x)
+        h = MaskedBatchNorm(name="batch_norm")(
+            h, use_running_average=not train, mask=node_mask
+        )
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        out = nn.Dense(self.nclass, name="out")(h)
+        return x, out, (g, g2)
+
+
+class ChromeRNN(nn.Module):
+    """BiLSTM over the window sequence of a chromosome
+    (reference: models/ChromeModels.py:55-72).
+
+    The chromosome's N windows are treated as one sequence; implemented with
+    lax.scan-based RNN layers. Padded suffix nodes are processed (static
+    shapes) but excluded from stats/loss via node_mask.
+    """
+
+    nfeat: int = 128
+    nclass: int = 919
+    dropout: float = 0.2
+    layers: int = 2
+
+    @nn.compact
+    def __call__(
+        self,
+        x_in: jax.Array,
+        graph: Optional[SparseGraph],
+        train: bool,
+        node_mask: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array, Tuple[Optional[jax.Array], Optional[jax.Array]]]:
+        if node_mask is None and graph is not None:
+            node_mask = graph.node_mask
+        hidden = self.nfeat // 2
+        x = x_in[None, :, :]  # (1, N, d) — chromosome as one sequence
+        for layer in range(self.layers):
+            fwd = nn.RNN(nn.OptimizedLSTMCell(hidden), name=f"fwd{layer}")
+            bwd = nn.RNN(nn.OptimizedLSTMCell(hidden), reverse=True, name=f"bwd{layer}")
+            x = jnp.concatenate([fwd(x), bwd(x)], axis=-1)
+            if layer + 1 < self.layers:
+                x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = x[0]
+        h = nn.relu(x)
+        h = MaskedBatchNorm(name="batch_norm")(
+            h, use_running_average=not train, mask=node_mask
+        )
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        out = nn.Dense(self.nclass, name="out")(h)
+        return x_in, out, (None, None)
+
+
+def make_chrome_model(
+    name: str,
+    nclass: int,
+    dropout: float = 0.2,
+    gate: bool = True,
+    layers: int = 2,
+    nfeat: int = 128,
+    spmm_impl: str = "auto",
+):
+    """Factory mirroring reference dispatch (reference: main.py:59-62)."""
+    name = name.lower()
+    if name == "gcn":
+        return ChromeGCN(
+            nfeat=nfeat, nhid=nfeat, nclass=nclass, dropout=dropout,
+            gate=gate, layers=layers, spmm_impl=spmm_impl,
+        )
+    if name == "rnn":
+        return ChromeRNN(nfeat=nfeat, nclass=nclass, dropout=dropout, layers=layers)
+    raise ValueError(f"unknown chrome model {name!r}")

@@ -1,0 +1,81 @@
+"""SpMM (sparse adjacency x dense features) — the hot op of the GCN stage.
+
+The reference delegates this single hot op to cuSPARSE via ``torch.spmm``
+(reference: models/SubLayers.py:46). Here it is built TPU-native, twice:
+
+- ``spmm_xla``:    gather + segment-sum. XLA lowers this to efficient
+                   dynamic-gather / scatter-add on TPU; fully differentiable
+                   (gather's transpose is scatter-add, so the backward pass
+                   is the A^T SpMM plus an SDDMM for the value gradient,
+                   derived automatically).
+- ``spmm_pallas``: a Pallas kernel (see ``spmm_pallas.py``) that blocks
+                   edges by source-node tile so each feature tile is read
+                   from HBM once per block instead of once per edge, with a
+                   custom VJP (backward = transposed-graph SpMM + SDDMM).
+
+``spmm`` picks the implementation: Pallas on TPU, XLA elsewhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from chromegcn_tpu.ops.sparse import SparseGraph
+
+
+def spmm_xla(graph: SparseGraph, x: jax.Array) -> jax.Array:
+    """out[i] = sum_e vals[e] * x[senders[e]], grouped by receivers[e].
+
+    Padding edges have val == 0 and indices 0, so they contribute nothing.
+
+    Args:
+      graph: padded COO adjacency (N nodes, E_pad edges).
+      x: (N, D) node features.
+
+    Returns:
+      (N, D) aggregated features, dtype follows x.
+    """
+    gathered = jnp.take(x, graph.senders, axis=0)
+    weighted = gathered * graph.vals[:, None].astype(x.dtype)
+    return jax.ops.segment_sum(weighted, graph.receivers, num_segments=graph.n_nodes)
+
+
+def sddmm(graph: SparseGraph, a: jax.Array, b: jax.Array) -> jax.Array:
+    """Sampled dense-dense matmul: out[e] = <a[receivers[e]], b[senders[e]]>.
+
+    This is the gradient of ``spmm`` w.r.t. the edge values; exposed for
+    adjacency-saliency analysis (the reference reads ``adj.grad`` for this —
+    reference: scripts/visualize.py).
+    """
+    return jnp.sum(
+        jnp.take(a, graph.receivers, axis=0) * jnp.take(b, graph.senders, axis=0),
+        axis=-1,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("impl",))
+def _spmm_dispatch(graph: SparseGraph, x: jax.Array, impl: str) -> jax.Array:
+    if impl == "xla":
+        return spmm_xla(graph, x)
+    if impl == "pallas":
+        from chromegcn_tpu.ops.spmm_pallas import spmm_pallas
+
+        return spmm_pallas(graph, x)
+    raise ValueError(f"unknown spmm impl {impl!r}")
+
+
+def default_impl() -> str:
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def spmm(graph: SparseGraph, x: jax.Array, impl: str = "auto") -> jax.Array:
+    """Sparse-matrix x dense-matrix product over a SparseGraph.
+
+    impl: 'auto' (pallas on TPU, else XLA), 'xla', or 'pallas'.
+    """
+    if impl == "auto":
+        impl = default_impl()
+    return _spmm_dispatch(graph, x, impl)
