@@ -1,0 +1,120 @@
+"""Benchmark: edges/sec/chip on a chr1-scale gated 2-layer GCN train step.
+
+Measures the BASELINE.json primary metric — the full ChromeGCN training step
+(forward + backward, both strands, 2 GCN layers) over a chr1-sized Hi-C
+graph (hicsize 500000 contract: 250k undirected pairs -> 500k directed
+edges + self loops; reference: data/7create_graph_new.py:168,
+config_args.py:47). N is chr1's peak-window count scale (~50k).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "edges/sec/chip", "vs_baseline": N}
+
+The reference repo publishes no perf numbers (BASELINE.md), so vs_baseline
+is measured against this framework's plain XLA gather/segment-sum SpMM
+implementation — the faithful TPU port of what torch.spmm did for the
+reference — making vs_baseline the speedup of the optimized path.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_VALID = 50_000
+N_PAD = 50_176
+N_PAIRS = 250_000
+D = 128
+NCLASS = 919
+LAYERS = 2
+STRANDS = 2
+
+
+def build():
+    from chromegcn_tpu.data.synthetic import make_hic_edges
+    from chromegcn_tpu.models.chrome import ChromeGCN
+    from chromegcn_tpu.train.finetune import chrome_train_step, create_chrome_state
+    from chromegcn_tpu.train.optim import make_optimizer
+    from chromegcn_tpu.ops.sparse import build_chrom_graph
+
+    s, r, v = make_hic_edges(N_VALID, N_PAIRS, seed=0)
+    graph = build_chrom_graph("hic", n_valid=N_VALID, n_pad=N_PAD, hic_edges=(s, r, v))
+    rng = np.random.default_rng(0)
+    x_f = jnp.asarray(rng.normal(size=(N_PAD, D)).astype(np.float32))
+    x_r = jnp.asarray(rng.normal(size=(N_PAD, D)).astype(np.float32))
+    targets = jnp.asarray((rng.random((N_PAD, NCLASS)) < 0.1).astype(np.float32))
+    return graph, x_f, x_r, targets
+
+
+def bench_impl(impl: str, graph, x_f, x_r, targets, iters=20):
+    from chromegcn_tpu.models.chrome import ChromeGCN
+    from chromegcn_tpu.train.finetune import chrome_train_step, create_chrome_state
+    from chromegcn_tpu.train.optim import make_optimizer
+
+    model = ChromeGCN(
+        nfeat=D, nhid=D, nclass=NCLASS, dropout=0.2, layers=LAYERS, spmm_impl=impl
+    )
+    key = jax.random.PRNGKey(0)
+    state = create_chrome_state(model, make_optimizer("sgd", 0.25), key, nfeat=D, n_nodes=256)
+
+    # warmup / compile
+    state, loss, _ = chrome_train_step(state, x_f, x_r, graph, targets, key)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss, _ = chrome_train_step(state, x_f, x_r, graph, targets, key)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / iters
+    return dt, float(loss)
+
+
+def main():
+    graph, x_f, x_r, targets = build()
+    n_edges = int(graph.n_edges)
+    # edges processed per optimizer step: per strand, per layer, fwd + the
+    # backward's A^T SpMM + SDDMM (count fwd+bwd as 2 passes, conservative)
+    edges_per_step = n_edges * LAYERS * STRANDS * 2
+
+    dt_xla, loss_xla = bench_impl("xla", graph, x_f, x_r, targets)
+
+    results = {"xla": dt_xla}
+    try:
+        from chromegcn_tpu.ops import spmm_pallas  # noqa: F401
+
+        dt_pallas, loss_pallas = bench_impl("pallas", graph, x_f, x_r, targets)
+        results["pallas"] = dt_pallas
+    except ImportError:
+        pass
+
+    best_impl = min(results, key=results.get)
+    best_dt = results[best_impl]
+    value = edges_per_step / best_dt
+    vs_baseline = (edges_per_step / dt_xla) and (dt_xla / best_dt)
+
+    print(
+        json.dumps(
+            {
+                "metric": "edges/sec/chip, chr1-scale gated 2-layer GCN train step (fwd+bwd, both strands)",
+                "value": round(value, 1),
+                "unit": "edges/sec",
+                "vs_baseline": round(vs_baseline, 3),
+                "detail": {
+                    "impl": best_impl,
+                    "step_ms": {k: round(v * 1e3, 3) for k, v in results.items()},
+                    "n_nodes": N_PAD,
+                    "n_edges": n_edges,
+                    "backend": jax.default_backend(),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

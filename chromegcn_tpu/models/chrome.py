@@ -51,21 +51,21 @@ class GraphConvolution(nn.Module):
 
     out_features: int
     use_bias: bool = True
-    init: str = "xavier"
+    init_method: str = "xavier"
     spmm_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array, graph: Optional[SparseGraph]) -> jax.Array:
         in_features = x.shape[-1]
-        if self.init == "xavier":
+        if self.init_method == "xavier":
             w_init = _xavier_normal_gain(0.02)
-        elif self.init == "kaiming":
+        elif self.init_method == "kaiming":
             w_init = nn.initializers.kaiming_normal()
-        elif self.init == "uniform":
+        elif self.init_method == "uniform":
             bound = 1.0 / jnp.sqrt(self.out_features)
             w_init = nn.initializers.uniform(scale=2 * bound)  # approx; see tests
         else:
-            raise NotImplementedError(self.init)
+            raise NotImplementedError(self.init_method)
         weight = self.param("weight", w_init, (in_features, self.out_features))
         support = jnp.dot(x, weight, preferred_element_type=jnp.float32)
         out = spmm(graph, support, impl=self.spmm_impl) if graph is not None else support

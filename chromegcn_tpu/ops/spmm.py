@@ -68,7 +68,14 @@ def _spmm_dispatch(graph: SparseGraph, x: jax.Array, impl: str) -> jax.Array:
 
 
 def default_impl() -> str:
-    return "pallas" if jax.default_backend() == "tpu" else "xla"
+    if jax.default_backend() != "tpu":
+        return "xla"
+    try:  # pallas kernel is optional until built for the running jaxlib
+        from chromegcn_tpu.ops import spmm_pallas  # noqa: F401
+
+        return "pallas"
+    except ImportError:
+        return "xla"
 
 
 def spmm(graph: SparseGraph, x: jax.Array, impl: str = "auto") -> jax.Array:

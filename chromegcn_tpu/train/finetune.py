@@ -1,0 +1,170 @@
+"""Chromosome-model (GCN) training stage.
+
+Whole-chromosome forward/backward per optimizer step — the batch *is* a
+chromosome (reference: finetune.py:29-49). Node counts are padded to shape
+buckets so the 22 chromosomes compile to a handful of XLA programs instead
+of 22.
+
+Strand handling mirrors the reference: two sequential passes (forward and
+reverse features) sharing weights, logits averaged, one loss/step per
+chromosome (reference: finetune.py:41-49).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax.training import train_state
+
+from chromegcn_tpu.data.loader import ChromFeatures
+from chromegcn_tpu.ops.sparse import SparseGraph
+from chromegcn_tpu.train.loss import bce_with_logits
+
+
+class ChromeTrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def create_chrome_state(
+    chrome_model, tx, rng: jax.Array, nfeat: int = 128, n_nodes: int = 256
+) -> ChromeTrainState:
+    from chromegcn_tpu.ops.sparse import build_chrom_graph
+
+    dummy_x = jnp.zeros((n_nodes, nfeat), jnp.float32)
+    dummy_g = build_chrom_graph("none", n_valid=n_nodes, n_pad=n_nodes)
+    variables = chrome_model.init(rng, dummy_x, dummy_g, train=False)
+    return ChromeTrainState.create(
+        apply_fn=chrome_model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=tx,
+    )
+
+
+def warm_start_head_from_window(
+    chrome_params, chrome_stats, window_params, window_stats
+) -> Tuple[Any, Any]:
+    """Initialize the GCN output head + BatchNorm from the trained CNN
+    (reference contract: main.py:78-81 copies classifier weight/bias and
+    batch_norm weight/bias; we also copy the running stats, which the
+    reference leaves at the CNN's via state_dict — same effect)."""
+    chrome_params = jax.device_get(chrome_params)
+    chrome_stats = jax.device_get(chrome_stats)
+    window_params = jax.device_get(window_params)
+    window_stats = jax.device_get(window_stats)
+    inner = window_params["model"] if "model" in window_params else window_params
+    inner_stats = window_stats.get("model", window_stats)
+    chrome_params["out"]["kernel"] = np.asarray(inner["classifier"]["kernel"])
+    chrome_params["out"]["bias"] = np.asarray(inner["classifier"]["bias"])
+    chrome_params["batch_norm"]["scale"] = np.asarray(inner["head_bn"]["scale"])
+    chrome_params["batch_norm"]["bias"] = np.asarray(inner["head_bn"]["bias"])
+    chrome_stats["batch_norm"]["mean"] = np.asarray(inner_stats["head_bn"]["mean"])
+    chrome_stats["batch_norm"]["var"] = np.asarray(inner_stats["head_bn"]["var"])
+    return (
+        jax.tree_util.tree_map(jnp.asarray, chrome_params),
+        jax.tree_util.tree_map(jnp.asarray, chrome_stats),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def chrome_train_step(
+    state: ChromeTrainState,
+    x_f: jax.Array,
+    x_r: jax.Array,
+    graph: SparseGraph,
+    targets: jax.Array,
+    rng: jax.Array,
+) -> Tuple[ChromeTrainState, jax.Array, jax.Array]:
+    """One chromosome, one optimizer step; returns (state, loss, probs)."""
+    rng_f, rng_r = jax.random.split(rng)
+
+    def loss_fn(params):
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        (_, pred_f, _), upd = state.apply_fn(
+            variables, x_f, graph, train=True,
+            mutable=["batch_stats"], rngs={"dropout": rng_f},
+        )
+        variables = {"params": params, "batch_stats": upd["batch_stats"]}
+        (_, pred_r, _), upd = state.apply_fn(
+            variables, x_r, graph, train=True,
+            mutable=["batch_stats"], rngs={"dropout": rng_r},
+        )
+        pred = (pred_f + pred_r) / 2.0
+        loss = bce_with_logits(pred, targets, graph.node_mask)
+        return loss, (pred, upd["batch_stats"])
+
+    (loss, (pred, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params
+    )
+    state = state.apply_gradients(grads=grads)
+    state = state.replace(batch_stats=new_stats)
+    return state, loss, jax.nn.sigmoid(pred)
+
+
+@jax.jit
+def chrome_eval_step(
+    state: ChromeTrainState,
+    x_f: jax.Array,
+    x_r: jax.Array,
+    graph: SparseGraph,
+    targets: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    _, pred_f, _ = state.apply_fn(variables, x_f, graph, train=False)
+    _, pred_r, _ = state.apply_fn(variables, x_r, graph, train=False)
+    pred = (pred_f + pred_r) / 2.0
+    loss = bce_with_logits(pred, targets, graph.node_mask)
+    return loss, jax.nn.sigmoid(pred)
+
+
+def bucket_nodes(n: int, bucket: int = 2048) -> int:
+    """Round node count up to a bucket boundary to bound recompilation."""
+    return int(-(-n // bucket) * bucket)
+
+
+def pad_rows(arr: np.ndarray, n_pad: int) -> np.ndarray:
+    if arr.shape[0] == n_pad:
+        return arr
+    out = np.zeros((n_pad,) + arr.shape[1:], arr.dtype)
+    out[: arr.shape[0]] = arr
+    return out
+
+
+def run_chrome_epoch(
+    state: ChromeTrainState,
+    features: Dict[str, ChromFeatures],
+    graphs: Dict[str, SparseGraph],
+    train: bool,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[ChromeTrainState, np.ndarray, np.ndarray, float]:
+    """One epoch = one pass over all chromosomes of a split
+    (reference: finetune.py:29-55). Returns dataset-order preds/targets."""
+    preds_parts, targ_parts = [], []
+    total_loss = 0.0
+    for chrom, cf in features.items():
+        graph = graphs[chrom]
+        n_pad = graph.n_nodes
+        x_f = jnp.asarray(pad_rows(cf.forward, n_pad))
+        x_r = jnp.asarray(pad_rows(cf.backward, n_pad))
+        targets = jnp.asarray(pad_rows(cf.target, n_pad))
+        if train:
+            rng, step_rng = jax.random.split(rng)
+            state, loss, probs = chrome_train_step(
+                state, x_f, x_r, graph, targets, step_rng
+            )
+        else:
+            loss, probs = chrome_eval_step(state, x_f, x_r, graph, targets)
+        n_valid = cf.forward.shape[0]
+        preds_parts.append(np.asarray(probs)[:n_valid])
+        targ_parts.append(cf.target[:n_valid])
+        total_loss += float(loss)
+    return (
+        state,
+        np.concatenate(preds_parts, axis=0),
+        np.concatenate(targ_parts, axis=0),
+        total_loss,
+    )

@@ -8,7 +8,7 @@ must be set before jax is imported anywhere.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,3 +16,10 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The image's sitecustomize registers the axon TPU backend and overrides
+# JAX_PLATFORMS; force the platform list back to cpu before any backend
+# initialization happens.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,83 @@
+"""End-to-end slice: pretrain -> save_feats -> GCN finetune on tiny synthetic
+data — exercises ingest contract, window model, feature handoff, graph build,
+SpMM, runner, metrics (SURVEY §7 minimum slice)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from chromegcn_tpu.config import Config
+from chromegcn_tpu.data import artifact
+from chromegcn_tpu.data.loader import load_chrom_features
+from chromegcn_tpu.data.synthetic import make_window_dataset
+from chromegcn_tpu.train.runner import run
+
+
+@pytest.fixture(scope="module")
+def tiny_world(tmp_path_factory):
+    root = tmp_path_factory.mktemp("world")
+    dataroot = str(root / "data")
+    results = str(root / "results")
+    os.makedirs(os.path.join(dataroot, "SYN", "1000"), exist_ok=True)
+
+    splits = {
+        "train": make_window_dataset({"chr2": 40, "chr4": 30}, n_targets=6, seq_length=500, seed=0),
+        "valid": make_window_dataset({"chr3": 24}, n_targets=6, seq_length=500, seed=1),
+        "test": make_window_dataset({"chr1": 24}, n_targets=6, seq_length=500, seed=2),
+    }
+    cfg = Config(
+        dataroot=dataroot, results_dir=results, cell_type="SYN",
+        epochs=2, batch_size=8, seq_length=500, d_model=32,
+        optim="adam", lr=1e-3, dropout=0.1,
+        pretrain=True, shuffle_train=True, adj_type="constant",
+    )
+    artifact.save_dataset(cfg.data_path, splits)
+    return cfg, splits
+
+
+def test_pretrain_reduces_loss_and_saves_checkpoint(tiny_world):
+    cfg, splits = tiny_world
+    state, tracker = run(cfg, splits, verbose=lambda *a: None)
+    train_log = open(os.path.join(cfg.stage1_run_dir, "train.log")).read().splitlines()
+    losses = [float(line.split(",")[1]) for line in train_log]
+    assert len(losses) == 2
+    assert losses[-1] < losses[0]
+    assert os.path.isdir(os.path.join(cfg.stage1_run_dir, "ckpt"))
+    assert tracker.best_test["meanAUC"] > 0
+
+
+def test_save_feats_writes_per_chrom_features(tiny_world):
+    cfg, splits = tiny_world
+    import dataclasses
+
+    sf_cfg = dataclasses.replace(cfg, pretrain=False, save_feats=True, epochs=1)
+    run(sf_cfg, splits, verbose=lambda *a: None)
+    feats = load_chrom_features(sf_cfg.feature_path("train"))
+    assert set(feats) == {"chr2", "chr4"}
+    assert feats["chr2"].forward.shape == (40, 32)
+    assert feats["chr2"].backward.shape == (40, 32)
+    assert feats["chr2"].target.shape == (40, 6)
+    # eval-mode features should be deterministic: re-running save_feats matches
+    run(sf_cfg, splits, verbose=lambda *a: None)
+    feats2 = load_chrom_features(sf_cfg.feature_path("train"))
+    np.testing.assert_allclose(feats["chr2"].forward, feats2["chr2"].forward, atol=1e-6)
+
+
+def test_finetune_gcn_trains_on_saved_features(tiny_world):
+    cfg, splits = tiny_world
+    import dataclasses
+
+    ft_cfg = dataclasses.replace(
+        cfg, pretrain=False, save_feats=False, load_pretrained=True,
+        epochs=3, adj_type="constant", gcn_dropout=0.0, d_model=32,
+    )
+    state, tracker = run(ft_cfg, verbose=lambda *a: None)
+    logs = open(os.path.join(ft_cfg.run_dir, "train.log")).read().splitlines()
+    losses = [float(line.split(",")[1]) for line in logs]
+    assert len(losses) == 3
+    assert losses[-1] < losses[0]
+    # trained for only 3 epochs on ~70 synthetic windows — assert the
+    # pipeline produced a sane metric, not model quality
+    assert 0.0 < tracker.best_test["meanAUC"] <= 1.0
+    assert os.path.isdir(os.path.join(ft_cfg.run_dir, "ckpt"))
