@@ -85,9 +85,10 @@ def main():
 
     results = {"xla": dt_xla}
     try:
-        from chromegcn_tpu.ops import spmm_pallas  # noqa: F401
+        from chromegcn_tpu.ops.spmm_pallas import attach_bsr
 
-        dt_pallas, loss_pallas = bench_impl("pallas", graph, x_f, x_r, targets)
+        graph_bsr = attach_bsr(graph)
+        dt_pallas, loss_pallas = bench_impl("pallas", graph_bsr, x_f, x_r, targets)
         results["pallas"] = dt_pallas
     except ImportError:
         pass

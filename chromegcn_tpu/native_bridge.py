@@ -1,0 +1,212 @@
+"""ctypes bridge to the C++ native ingest library, with numpy fallbacks.
+
+The shared library is built on demand from ``native/chromegcn_native.cc``
+(no pybind11 in the image — plain C ABI + ctypes). Every entry point has a
+pure-numpy fallback so the framework works without a compiler; the native
+paths exist for the reference's heavy ingest workloads (126M-line Hi-C
+dumps — reference: data/7create_graph_new.py:73).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libchromegcn_native.so")
+_lib: Optional[ctypes.CDLL] = None
+_build_attempted = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_attempted
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and not _build_attempted:
+        _build_attempted = True
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            return None
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.hic_topk.restype = ctypes.c_int64
+    lib.hic_topk.argtypes = [
+        ctypes.c_char_p, f64p, ctypes.c_int64, ctypes.c_int64,
+        i64p, ctypes.c_int64, ctypes.c_int64, i64p, i64p, f64p,
+    ]
+    lib.intersect_fraction.restype = ctypes.c_int64
+    lib.intersect_fraction.argtypes = [
+        i64p, i64p, ctypes.c_int64, i64p, i64p, ctypes.c_int64,
+        ctypes.c_double, i64p, i64p, ctypes.c_int64,
+    ]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def _as_i64(a) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(a, dtype=np.int64))
+
+
+def hic_topk(
+    path: str,
+    bins: np.ndarray,
+    k: int,
+    norm: Optional[np.ndarray] = None,
+    resolution_bp: int = 1000,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Top-k normalized Hi-C contacts among ``bins`` from a RAWobserved file.
+
+    Returns (bin1, bin2, val) descending by val (top contact first). Semantics match the
+    reference's get_contact_edge_pairs + get_top_contact_locs
+    (reference: data/7create_graph_new.py:66-116): self-contacts skipped,
+    both endpoints must be peak-window bins, normalization divides by
+    norm[bin/resolution] with 0/NaN meaning "discard".
+    """
+    bins = np.unique(_as_i64(bins))
+    lib = _load()
+    if lib is not None:
+        out1 = np.empty(k, np.int64)
+        out2 = np.empty(k, np.int64)
+        outv = np.empty(k, np.float64)
+        normp = None
+        norm_len = 0
+        if norm is not None:
+            norm = np.ascontiguousarray(np.asarray(norm, dtype=np.float64))
+            normp = norm.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+            norm_len = len(norm)
+        n = lib.hic_topk(
+            path.encode(), normp, norm_len, resolution_bp,
+            bins.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(bins), k,
+            out1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out2.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            outv.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        if n >= 0:
+            return out1[:n], out2[:n], outv[:n]
+    return _hic_topk_numpy(path, bins, k, norm, resolution_bp)
+
+
+def _hic_topk_numpy(path, bins, k, norm, resolution_bp):
+    """Chunked numpy fallback (slower but exact)."""
+    bin_set = set(int(b) for b in bins)
+    best1, best2, bestv = [], [], []
+    chunk_b1, chunk_b2, chunk_v = [], [], []
+
+    def flush():
+        nonlocal best1, best2, bestv, chunk_b1, chunk_b2, chunk_v
+        if not chunk_b1:
+            return
+        b1 = np.asarray(chunk_b1, np.int64)
+        b2 = np.asarray(chunk_b2, np.int64)
+        v = np.asarray(chunk_v, np.float64)
+        chunk_b1, chunk_b2, chunk_v = [], [], []
+        all1 = np.concatenate([np.asarray(best1, np.int64), b1])
+        all2 = np.concatenate([np.asarray(best2, np.int64), b2])
+        allv = np.concatenate([np.asarray(bestv, np.float64), v])
+        if len(allv) > k:
+            top = np.argpartition(allv, len(allv) - k)[-k:]
+            all1, all2, allv = all1[top], all2[top], allv[top]
+        best1, best2, bestv = all1.tolist(), all2.tolist(), allv.tolist()
+
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 3:
+                continue
+            b1, b2 = int(parts[0]), int(parts[1])
+            if b1 == b2 or b1 not in bin_set or b2 not in bin_set:
+                continue
+            v = float(parts[2])
+            if norm is not None:
+                n1 = norm[b1 // resolution_bp] if b1 // resolution_bp < len(norm) else 0.0
+                n2 = norm[b2 // resolution_bp] if b2 // resolution_bp < len(norm) else 0.0
+                if n1 == 0 or n2 == 0 or np.isnan(n1) or np.isnan(n2):
+                    continue
+                v = v / (n1 * n2)
+            chunk_b1.append(b1)
+            chunk_b2.append(b2)
+            chunk_v.append(v)
+            if len(chunk_b1) >= 1_000_000:
+                flush()
+    flush()
+    order = np.argsort(np.asarray(bestv))[::-1]
+    return (
+        np.asarray(best1, np.int64)[order],
+        np.asarray(best2, np.int64)[order],
+        np.asarray(bestv, np.float64)[order],
+    )
+
+
+def intersect_fraction(
+    win_start: np.ndarray,
+    win_end: np.ndarray,
+    peak_start: np.ndarray,
+    peak_end: np.ndarray,
+    min_frac: float = 0.1,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(window_idx, peak_idx) pairs where overlap >= min_frac * window length.
+
+    bedtools `intersect -f` semantics (reference shells out at
+    data/3create_windows_with_peaks.py:43). Windows must be sorted by start.
+    """
+    win_start = _as_i64(win_start)
+    win_end = _as_i64(win_end)
+    peak_start = _as_i64(peak_start)
+    peak_end = _as_i64(peak_end)
+    lib = _load()
+    if lib is not None and len(win_start) and len(peak_start):
+        cap = max(len(win_start) * 4, 1024)
+        while True:
+            out_w = np.empty(cap, np.int64)
+            out_p = np.empty(cap, np.int64)
+            n = lib.intersect_fraction(
+                win_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                win_end.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                len(win_start),
+                peak_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                peak_end.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                len(peak_start),
+                min_frac, out_w.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                out_p.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap,
+            )
+            if n <= cap:
+                return out_w[:n], out_p[:n]
+            cap = int(n)
+    return _intersect_numpy(win_start, win_end, peak_start, peak_end, min_frac)
+
+
+def _intersect_numpy(win_start, win_end, peak_start, peak_end, min_frac):
+    if len(win_start) == 0 or len(peak_start) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    order = np.argsort(peak_start, kind="stable")
+    ps, pe = peak_start[order], peak_end[order]
+    max_len = int((pe - ps).max())
+    out_w, out_p = [], []
+    for w in range(len(win_start)):
+        ws, we = int(win_start[w]), int(win_end[w])
+        need = min_frac * (we - ws)
+        lo = np.searchsorted(ps, ws - max_len)
+        hi = np.searchsorted(ps, we)
+        if hi <= lo:
+            continue
+        ov = np.minimum(we, pe[lo:hi]) - np.maximum(ws, ps[lo:hi])
+        sel = np.nonzero((ov > 0) & (ov >= need))[0]
+        for s in sel:
+            out_w.append(w)
+            out_p.append(int(order[lo + s]))
+    return np.asarray(out_w, np.int64), np.asarray(out_p, np.int64)

@@ -55,6 +55,9 @@ class SparseGraph:
     n_edges: jax.Array
     node_mask: jax.Array
     n_nodes: int = struct.field(pytree_node=False)
+    # Optional precomputed block-sparse form (ops.spmm_pallas.BSROperator),
+    # attached via ops.spmm_pallas.attach_bsr for the Pallas MXU kernel.
+    bsr: Optional[object] = None
 
     @property
     def edge_capacity(self) -> int:

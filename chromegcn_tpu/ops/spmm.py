@@ -18,7 +18,7 @@ The reference delegates this single hot op to cuSPARSE via ``torch.spmm``
 
 from __future__ import annotations
 
-import functools
+
 
 import jax
 import jax.numpy as jnp
@@ -56,33 +56,27 @@ def sddmm(graph: SparseGraph, a: jax.Array, b: jax.Array) -> jax.Array:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("impl",))
 def _spmm_dispatch(graph: SparseGraph, x: jax.Array, impl: str) -> jax.Array:
     if impl == "xla":
         return spmm_xla(graph, x)
     if impl == "pallas":
         from chromegcn_tpu.ops.spmm_pallas import spmm_pallas
 
-        return spmm_pallas(graph, x)
+        if getattr(graph, "bsr", None) is None:
+            raise ValueError(
+                "impl='pallas' requires a precomputed block-sparse form; "
+                "attach one with ops.spmm_pallas.attach_bsr(graph)"
+            )
+        return spmm_pallas(graph.bsr, x)
     raise ValueError(f"unknown spmm impl {impl!r}")
-
-
-def default_impl() -> str:
-    if jax.default_backend() != "tpu":
-        return "xla"
-    try:  # pallas kernel is optional until built for the running jaxlib
-        from chromegcn_tpu.ops import spmm_pallas  # noqa: F401
-
-        return "pallas"
-    except ImportError:
-        return "xla"
 
 
 def spmm(graph: SparseGraph, x: jax.Array, impl: str = "auto") -> jax.Array:
     """Sparse-matrix x dense-matrix product over a SparseGraph.
 
-    impl: 'auto' (pallas on TPU, else XLA), 'xla', or 'pallas'.
+    impl: 'auto' (Pallas block-sparse kernel when the graph carries a
+    precomputed BSR form, else XLA gather+segment-sum), 'xla', or 'pallas'.
     """
     if impl == "auto":
-        impl = default_impl()
+        impl = "pallas" if getattr(graph, "bsr", None) is not None else "xla"
     return _spmm_dispatch(graph, x, impl)

@@ -33,9 +33,12 @@ def create_chrome_state(
     chrome_model, tx, rng: jax.Array, nfeat: int = 128, n_nodes: int = 256
 ) -> ChromeTrainState:
     from chromegcn_tpu.ops.sparse import build_chrom_graph
+    from chromegcn_tpu.ops.spmm_pallas import attach_bsr
 
     dummy_x = jnp.zeros((n_nodes, nfeat), jnp.float32)
     dummy_g = build_chrom_graph("none", n_valid=n_nodes, n_pad=n_nodes)
+    if n_nodes % 256 == 0:
+        dummy_g = attach_bsr(dummy_g)  # so init works for any spmm_impl
     variables = chrome_model.init(rng, dummy_x, dummy_g, train=False)
     return ChromeTrainState.create(
         apply_fn=chrome_model.apply,

@@ -175,17 +175,25 @@ def build_split_graphs(
     hic_edges = None
     if cfg.adj_type in ("hic", "both"):
         hic_edges = artifact.load_graph_edges(cfg.graph_path(split))
+    use_bsr = cfg.spmm_impl == "pallas" or (
+        cfg.spmm_impl == "auto" and jax.default_backend() == "tpu"
+    )
     graphs = {}
     for chrom, cf in features.items():
         n_valid = cf.forward.shape[0]
         n_pad = ft.bucket_nodes(n_valid)
-        graphs[chrom] = build_chrom_graph(
+        g = build_chrom_graph(
             cfg.adj_type,
             n_valid=n_valid,
             n_pad=n_pad,
             edge_capacity=edge_capacity,
             hic_edges=None if hic_edges is None else hic_edges[chrom],
         )
+        if use_bsr:
+            from chromegcn_tpu.ops.spmm_pallas import attach_bsr
+
+            g = attach_bsr(g)
+        graphs[chrom] = g
     return graphs
 
 

@@ -1,0 +1,139 @@
+"""Ingest pipeline: FASTA windows/peaks/labels/Hi-C graphs on synthetic raw
+inputs — replaces reference data/ steps 1-7 + create_torch_data."""
+
+import os
+
+import numpy as np
+import pytest
+
+from chromegcn_tpu import native_bridge
+from chromegcn_tpu.data import artifact
+from chromegcn_tpu.pipeline import build, genome, hic
+
+
+@pytest.fixture(scope="module")
+def raw_world(tmp_path_factory):
+    root = tmp_path_factory.mktemp("raw")
+    rng = np.random.default_rng(0)
+    bases = np.array(list("acgt"))
+    contigs = {
+        "chr1": "".join(rng.choice(bases, size=30_000)),
+        "chr2": "".join(rng.choice(bases, size=40_000)),
+        "chr3": "".join(rng.choice(bases, size=25_000)),
+    }
+    fasta_path = str(root / "genome.fa")
+    genome.write_fasta(fasta_path, contigs)
+
+    peak_dir = root / "peaks"
+    peak_dir.mkdir()
+    # two assays with peaks on known windows
+    with open(peak_dir / "tf_a.narrowPeak", "w") as f:
+        for chrom, start in [("chr1", 1200), ("chr1", 5400), ("chr2", 10100), ("chr3", 2100)]:
+            f.write(f"{chrom}\t{start}\t{start + 400}\ttf_a\t0\t.\t0\t0\t0\t0\n")
+    with open(peak_dir / "hm_b.narrowPeak", "w") as f:
+        for chrom, start in [("chr1", 1300), ("chr2", 20500), ("chr2", 10050)]:
+            f.write(f"{chrom}\t{start}\t{start + 300}\thm_b\t0\t.\t0\t0\t0\t0\n")
+
+    hic_dir = root / "hic"
+    hic_dir.mkdir()
+    # contacts between chr1 peak windows (bins are window starts)
+    with open(hic_dir / "chr1.RAWobserved", "w") as f:
+        f.write("1000\t5000\t50.0\n")   # both are peak windows
+        f.write("1000\t9000\t99.0\n")   # 9000 not a peak window -> dropped
+        f.write("5000\t5000\t77.0\n")   # self -> dropped
+    with open(hic_dir / "chr1.SQRTVCnorm", "w") as f:
+        # norm values for bins 0..5 (1kb resolution)
+        f.write("\n".join(["1.0"] * 10) + "\n")
+
+    return {"fasta": fasta_path, "peaks": str(peak_dir), "hic": str(hic_dir), "root": str(root)}
+
+
+def test_fasta_fetch_roundtrip(raw_world):
+    fa = genome.Fasta(raw_world["fasta"])
+    assert set(fa.contigs()) == {"chr1", "chr2", "chr3"}
+    seq = fa.fetch("chr1", 100, 160)
+    assert len(seq) == 60
+    assert set(seq) <= set("acgt")
+    # spot-check against full parse
+    full = "".join(
+        line.strip()
+        for line in open(raw_world["fasta"])
+        if not line.startswith(">")
+    )[:30_000]
+    assert fa.fetch("chr1", 123, 456) == full[123:456]
+
+
+def test_build_dataset_contracts(raw_world):
+    out_dir = os.path.join(raw_world["root"], "out")
+    splits = build.build_dataset(
+        raw_world["fasta"], raw_world["peaks"], out_dir, verbose=lambda *a: None
+    )
+    # chr1 is a test chrom, chr3 valid, chr2 train (reference split contract)
+    assert set(np.unique(splits["test"].chroms)) == {"chr1"}
+    assert set(np.unique(splits["valid"].chroms)) == {"chr3"}
+    assert set(np.unique(splits["train"].chroms)) == {"chr2"}
+    # windows with peaks only: chr1 peaks at 1200-1600 (win 1000), 5400-5800 (win 5000), 1300-1600
+    assert splits["test"].starts.tolist() == [1000, 5000]
+    # labels: window 1000 has tf_a + hm_b, window 5000 only tf_a
+    tgt = splits["test"].targets
+    vocab = splits["test"].tgt_vocab
+    assert tgt[0, vocab["tf_a"]] == 1 and tgt[0, vocab["hm_b"]] == 1
+    assert tgt[1, vocab["tf_a"]] == 1 and tgt[1, vocab["hm_b"]] == 0
+    # tokens are 2000-long extended windows
+    assert splits["test"].tokens.shape[1] == 2000
+    # artifact round-trip
+    loaded = artifact.load_dataset(os.path.join(out_dir, "dataset.npz"))
+    np.testing.assert_array_equal(loaded["test"].tokens, splits["test"].tokens)
+
+
+def test_fractional_overlap_threshold(raw_world):
+    # a peak covering only 99bp of a 1000bp window fails -f 0.1
+    w, p = native_bridge.intersect_fraction(
+        np.array([0]), np.array([1000]), np.array([901]), np.array([1000]), 0.1
+    )
+    assert len(w) == 0
+    w, p = native_bridge.intersect_fraction(
+        np.array([0]), np.array([1000]), np.array([900]), np.array([1000]), 0.1
+    )
+    assert len(w) == 1
+
+
+def test_build_hic_graphs(raw_world):
+    out_dir = os.path.join(raw_world["root"], "out2")
+    splits = build.build_dataset(
+        raw_world["fasta"], raw_world["peaks"], out_dir, verbose=lambda *a: None
+    )
+    build.build_hic_graphs(
+        splits, raw_world["hic"], out_dir, hicsize=10, hicnorm="SQRTVC",
+        verbose=lambda *a: None,
+    )
+    path = hic.split_graph_paths(
+        os.path.join(out_dir, "hic"), "test", "10", "SQRTVC"
+    )
+    edges = artifact.load_graph_edges(path)
+    s, r, v = edges["chr1"]
+    # only the (1000,5000) contact survives: windows 0<->1, symmetric
+    assert sorted(zip(s.tolist(), r.tolist())) == [(0, 1), (1, 0)]
+    np.testing.assert_array_equal(v, [1.0, 1.0])
+
+
+def test_hic_norm_discards_zero_norm_bins(tmp_path):
+    raw = tmp_path / "c.RAWobserved"
+    raw.write_text("0\t1000\t100.0\n0\t2000\t10.0\n")
+    b1, b2, v = native_bridge.hic_topk(
+        str(raw), np.array([0, 1000, 2000]), k=5,
+        norm=np.array([1.0, 0.0, 2.0]), resolution_bp=1000,
+    )
+    # bin 1000 has norm 0 -> contact discarded; 0-2000 kept with val 10/(1*2)
+    assert b1.tolist() == [0] and b2.tolist() == [2000]
+    np.testing.assert_allclose(v, [5.0])
+
+
+def test_upsample_5kb_to_1kb():
+    b1, b2, v = hic.upsample_contacts_5kb_to_1kb(
+        np.array([5000]), np.array([20000]), np.array([2.0])
+    )
+    assert len(b1) == 25
+    assert set(b1.tolist()) == {5000, 6000, 7000, 8000, 9000}
+    assert set(b2.tolist()) == {20000, 21000, 22000, 23000, 24000}
+    assert all(x == 2.0 for x in v)

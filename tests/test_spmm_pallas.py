@@ -1,0 +1,89 @@
+"""Block-sparse Pallas SpMM: parity vs XLA path (CPU interpret mode here;
+the same kernel is exercised compiled on TPU by bench.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chromegcn_tpu.ops import sparse as cgs
+from chromegcn_tpu.ops.spmm import spmm, spmm_xla
+from chromegcn_tpu.ops.spmm_pallas import attach_bsr, bsr_from_graph
+
+
+def _graph(n, density=0.03, seed=0, diag=True):
+    rng = np.random.default_rng(seed)
+    dense = (rng.random((n, n)) < density).astype(np.float32)
+    dense *= rng.random((n, n)).astype(np.float32)
+    if diag:
+        np.fill_diagonal(dense, 1.0)
+    return cgs.from_dense(dense), dense
+
+
+@pytest.mark.parametrize("n", [512, 1024])
+def test_bsr_matches_xla(n):
+    g, dense = _graph(n)
+    g = attach_bsr(g, tile=256, min_edges_per_tile=8)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(n, 128)).astype(np.float32))
+    out_p = np.asarray(spmm(g, x, impl="pallas"))
+    out_x = np.asarray(spmm_xla(g, x))
+    np.testing.assert_allclose(out_p, out_x, rtol=1e-4, atol=1e-4)
+
+
+def test_bsr_all_edges_in_remainder():
+    """min_edges_per_tile high -> only forced diagonal tiles; off-diag edges
+    all flow through the sorted-COO remainder path."""
+    g, dense = _graph(512, density=0.01, seed=2)
+    g = attach_bsr(g, tile=256, min_edges_per_tile=10**9)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(512, 128)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(spmm(g, x, impl="pallas")),
+        np.asarray(spmm_xla(g, x)),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_bsr_gradient_is_transpose_spmm():
+    n = 512
+    g, dense = _graph(n, seed=4)
+    g = attach_bsr(g, tile=256, min_edges_per_tile=8)
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(n, 128)).astype(np.float32))
+    ct = np.random.default_rng(6).normal(size=(n, 128)).astype(np.float32)
+
+    def f(x):
+        return jnp.sum(spmm(g, x, impl="pallas") * ct)
+
+    gx = np.asarray(jax.grad(f)(x))
+    np.testing.assert_allclose(gx, dense.T @ ct, rtol=1e-4, atol=1e-3)
+
+
+def test_bsr_auto_dispatch():
+    """impl='auto' uses the pallas path when BSR is attached, XLA otherwise."""
+    g, _ = _graph(512, seed=7)
+    x = jnp.asarray(np.random.default_rng(8).normal(size=(512, 128)).astype(np.float32))
+    out_plain = spmm(g, x, impl="auto")  # no bsr -> xla
+    g2 = attach_bsr(g, tile=256, min_edges_per_tile=8)
+    out_bsr = spmm(g2, x, impl="auto")
+    np.testing.assert_allclose(
+        np.asarray(out_plain), np.asarray(out_bsr), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_bsr_requires_tile_aligned_nodes():
+    g, _ = _graph(300, seed=9)
+    with pytest.raises(ValueError):
+        bsr_from_graph(g, tile=256)
+
+
+def test_bsr_under_jit_with_attached_graph():
+    g, dense = _graph(512, seed=10)
+    g = attach_bsr(g, tile=256, min_edges_per_tile=8)
+    x = jnp.asarray(np.random.default_rng(11).normal(size=(512, 128)).astype(np.float32))
+
+    @jax.jit
+    def f(g, x):
+        return spmm(g, x, impl="pallas")
+
+    np.testing.assert_allclose(
+        np.asarray(f(g, x)), dense @ np.asarray(x), rtol=1e-4, atol=1e-4
+    )
