@@ -149,7 +149,7 @@ class ChromeRNN(nn.Module):
         x = x_in[None, :, :]  # (1, N, d) — chromosome as one sequence
         for layer in range(self.layers):
             fwd = nn.RNN(nn.OptimizedLSTMCell(hidden), name=f"fwd{layer}")
-            bwd = nn.RNN(nn.OptimizedLSTMCell(hidden), reverse=True, name=f"bwd{layer}")
+            bwd = nn.RNN(nn.OptimizedLSTMCell(hidden), reverse=True, keep_order=True, name=f"bwd{layer}")
             x = jnp.concatenate([fwd(x), bwd(x)], axis=-1)
             if layer + 1 < self.layers:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)

@@ -136,7 +136,8 @@ class _BiLSTM(nn.Module):
         for layer in range(self.num_layers):
             fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden), name=f"fwd{layer}")
             bwd = nn.RNN(
-                nn.OptimizedLSTMCell(self.hidden), reverse=True, name=f"bwd{layer}"
+                nn.OptimizedLSTMCell(self.hidden), reverse=True, keep_order=True,
+                name=f"bwd{layer}",
             )
             x = jnp.concatenate([fwd(x), bwd(x)], axis=-1)
             if layer + 1 < self.num_layers:

@@ -174,39 +174,65 @@ def bsr_from_graph(
 # ---------------------------------------------------------------------------
 
 
+# tiles processed per grid step: amortizes grid-step overhead (measured
+# ~2us/step on v5e — 384 single-tile steps cost 0.87ms vs a 0.12ms DMA floor)
+TILES_PER_STEP = 8
+# VMEM budget for the fully-resident x/out variant (v5e exposes ~128MB)
+_VMEM_RESIDENT_BYTES = 96 * 1024 * 1024
+
+
 def _bsr_matmul(m: BSRMatrix, x: jax.Array) -> jax.Array:
-    """Block-sparse dense matmul: out = Tiles(A) @ x (dense-tile part only)."""
+    """Block-sparse dense matmul: out = Tiles(A) @ x (dense-tile part only).
+
+    x and out stay fully VMEM-resident (v5e VMEM is large); each grid step
+    streams TILES_PER_STEP dense tiles from HBM and accumulates K matmuls
+    via dynamic slices — no output-revisit constraint, no per-tile x DMA.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     tile = m.tile_size
     nt = m.tiles.shape[0]
     d = x.shape[1]
+    K = TILES_PER_STEP
+    assert nt % K == 0, "tile count is bucketed to a multiple of TILES_PER_STEP"
 
-    def kernel(rb_ref, cb_ref, first_ref, tiles_ref, x_ref, out_ref):
-        t = pl.program_id(0)
+    if (m.n_nodes * d * 4) * 2 > _VMEM_RESIDENT_BYTES:
+        raise NotImplementedError(
+            f"chromosome too large for VMEM-resident SpMM "
+            f"(N={m.n_nodes}, d={d}); shard the graph across devices "
+            "(parallel.graph) or lower d"
+        )
 
-        @pl.when(first_ref[t] == 1)
+    def kernel(rb_ref, cb_ref, tiles_ref, x_ref, out_ref):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        out_ref[:] += jnp.dot(
-            tiles_ref[0],
-            x_ref[:],
-            preferred_element_type=jnp.float32,
-            # full f32 accuracy (bf16x3 passes) — parity with the reference's
-            # cuSPARSE f32 SpMM is a BASELINE requirement
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        for k in range(K):
+            t = step * K + k
+            rb = pl.multiple_of(rb_ref[t] * tile, tile)
+            cb = pl.multiple_of(cb_ref[t] * tile, tile)
+            contrib = jnp.dot(
+                tiles_ref[k],
+                x_ref[pl.ds(cb, tile), :],
+                preferred_element_type=jnp.float32,
+                # full f32 accuracy (bf16x3) — parity with the reference's
+                # cuSPARSE f32 SpMM is a BASELINE requirement
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            out_ref[pl.ds(rb, tile), :] += contrib
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(nt,),
+        num_scalar_prefetch=2,
+        grid=(nt // K,),
         in_specs=[
-            pl.BlockSpec((1, tile, tile), lambda t, rb, cb, first: (t, 0, 0)),
-            pl.BlockSpec((tile, d), lambda t, rb, cb, first: (cb[t], 0)),
+            pl.BlockSpec((K, tile, tile), lambda s, rb, cb: (s, 0, 0)),
+            pl.BlockSpec((m.n_nodes, d), lambda s, rb, cb: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((tile, d), lambda t, rb, cb, first: (rb[t], 0)),
+        out_specs=pl.BlockSpec((m.n_nodes, d), lambda s, rb, cb: (0, 0)),
     )
     flops = 2 * nt * tile * tile * d
     return pl.pallas_call(
@@ -218,17 +244,24 @@ def _bsr_matmul(m: BSRMatrix, x: jax.Array) -> jax.Array:
             bytes_accessed=m.tiles.size * 4 + x.size * 4 + m.n_nodes * d * 4,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024
+        ),
         interpret=jax.default_backend() == "cpu",
-    )(m.tile_rb, m.tile_cb, m.tile_first, m.tiles, x)
+    )(m.tile_rb, m.tile_cb, m.tiles, x)
 
 
 def _apply_one_direction(m: BSRMatrix, x: jax.Array) -> jax.Array:
     dense_part = _bsr_matmul(m, x)
     gathered = jnp.take(x, m.rem_senders, axis=0) * m.rem_vals[:, None].astype(x.dtype)
-    rem = jax.ops.segment_sum(
-        gathered, m.rem_receivers, num_segments=m.n_nodes, indices_are_sorted=True
+    # scatter-add straight into the dense-tile result (avoids materializing a
+    # separate N x d zeros buffer + add — XLA scatter overhead is the
+    # remainder path's dominant cost)
+    return dense_part.at[m.rem_receivers].add(
+        gathered.astype(dense_part.dtype),
+        indices_are_sorted=True,
+        unique_indices=False,
     )
-    return dense_part + rem.astype(dense_part.dtype)
 
 
 @jax.custom_vjp

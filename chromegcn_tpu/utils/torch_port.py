@@ -124,3 +124,67 @@ def port_chromegcn(state: Mapping[str, np.ndarray], layers: int = 2) -> Dict:
     params["batch_norm"] = frag["params"]
     stats = {"batch_norm": frag["batch_stats"]}
     return {"params": params, "batch_stats": stats}
+
+
+def lstm_cell(
+    weight_ih: np.ndarray,
+    weight_hh: np.ndarray,
+    bias_ih: np.ndarray,
+    bias_hh: np.ndarray,
+) -> Dict:
+    """torch LSTM direction weights -> flax OptimizedLSTMCell params.
+
+    torch packs gates (i, f, g, o) along rows of (4H, in)/(4H, H) matrices
+    with two bias vectors; flax uses per-gate Dense layers (input gates
+    without bias, hidden gates with bias = bias_ih + bias_hh).
+    """
+    h = weight_hh.shape[1]
+    gates = ("i", "f", "g", "o")
+    out: Dict = {}
+    bias = np.asarray(bias_ih) + np.asarray(bias_hh)
+    for k, gate in enumerate(gates):
+        sl = slice(k * h, (k + 1) * h)
+        out[f"i{gate}"] = {"kernel": dense_kernel(np.asarray(weight_ih)[sl])}
+        out[f"h{gate}"] = {
+            "kernel": dense_kernel(np.asarray(weight_hh)[sl]),
+            "bias": bias[sl],
+        }
+    return out
+
+
+def port_danq(state: Mapping[str, np.ndarray]) -> Dict:
+    """Map a torch DanQ state_dict (reference models/WindowModels.py:158-204)
+    into {params} for models.window.DanQ.
+
+    The flax BiLSTM cells are auto-named in declaration order:
+    OptimizedLSTMCell_0 = forward layer 0, _1 = backward layer 0,
+    _2 = forward layer 1, _3 = backward layer 1. The post-LSTM flatten is
+    position-major in both frameworks, so linear1 ports with a plain
+    transpose.
+    """
+
+    def g(key):
+        return np.asarray(state[key])
+
+    cells = {}
+    order = [("l0", ""), ("l0", "_reverse"), ("l1", ""), ("l1", "_reverse")]
+    for i, (layer, suffix) in enumerate(order):
+        lnum = layer[1]
+        cells[f"OptimizedLSTMCell_{i}"] = lstm_cell(
+            g(f"BiLSTM.weight_ih_l{lnum}{suffix}"),
+            g(f"BiLSTM.weight_hh_l{lnum}{suffix}"),
+            g(f"BiLSTM.bias_ih_l{lnum}{suffix}"),
+            g(f"BiLSTM.bias_hh_l{lnum}{suffix}"),
+        )
+
+    params = {
+        "embed": {"embedding": g("src_word_emb.weight")},
+        "conv1": {
+            "kernel": conv1d_kernel(g("Conv1.weight")),
+            "bias": g("Conv1.bias"),
+        },
+        "bilstm": cells,
+        "linear1": {"kernel": dense_kernel(g("Linear1.weight")), "bias": g("Linear1.bias")},
+        "linear2": {"kernel": dense_kernel(g("Linear2.weight")), "bias": g("Linear2.bias")},
+    }
+    return {"params": params}

@@ -1,0 +1,52 @@
+"""Joint CNN+GCN finetune: end-to-end gradient flow through both stages."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chromegcn_tpu.data.constants import SRC_VOCAB
+from chromegcn_tpu.models.chrome import ChromeGCN
+from chromegcn_tpu.models.window import Expecto
+from chromegcn_tpu.ops.seq import complement_permutation
+from chromegcn_tpu.ops.sparse import build_chrom_graph
+from chromegcn_tpu.train.finetune import create_chrome_state
+from chromegcn_tpu.train.joint import joint_train_step
+from chromegcn_tpu.train.optim import make_optimizer
+from chromegcn_tpu.train.pretrain import create_window_state
+
+
+def test_joint_step_trains_both_stages():
+    seq, d, n_targets = 400, 8, 4
+    n_pad, n_valid = 16, 14
+    rng = jax.random.PRNGKey(0)
+    nprng = np.random.default_rng(0)
+
+    wmodel = Expecto(n_targets=n_targets, seq_length=seq, d_model=d)
+    wstate = create_window_state(
+        wmodel, make_optimizer("adam", 1e-3), rng, seq, SRC_VOCAB, batch_size=2
+    )
+    cmodel = ChromeGCN(nfeat=d, nhid=d, nclass=n_targets, dropout=0.0, layers=2)
+    cstate = create_chrome_state(cmodel, make_optimizer("adam", 1e-3), rng, nfeat=d, n_nodes=256)
+
+    graph = build_chrom_graph("constant", n_valid=n_valid, n_pad=n_pad)
+    tokens = jnp.asarray(nprng.integers(0, 4, size=(n_pad, seq)).astype(np.int32))
+    targets = jnp.asarray((nprng.random((n_pad, n_targets)) < 0.3).astype(np.float32))
+    comp_map = jnp.asarray(complement_permutation(SRC_VOCAB))
+
+    w_before = jax.device_get(wstate.params["model"]["conv1a"]["kernel"])
+    c_before = jax.device_get(cstate.params["GC1"]["weight"])
+
+    losses = []
+    for i in range(3):
+        rng, step = jax.random.split(rng)
+        wstate, cstate, loss = joint_train_step(
+            wstate, cstate, tokens, comp_map, graph, targets, step, chunk_size=8
+        )
+        losses.append(float(loss))
+
+    # both stages' parameters moved
+    w_after = jax.device_get(wstate.params["model"]["conv1a"]["kernel"])
+    c_after = jax.device_get(cstate.params["GC1"]["weight"])
+    assert not np.allclose(w_before, w_after)
+    assert not np.allclose(c_before, c_after)
+    assert losses[-1] < losses[0]

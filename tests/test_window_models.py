@@ -123,3 +123,48 @@ def test_expecto_train_mode_runs_and_updates_stats():
     before = variables["batch_stats"]["bn1"]["mean"]
     after = updates["batch_stats"]["bn1"]["mean"]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+class TorchDanQ(torch_nn.Module):
+    """Published DanQ architecture (Quang & Xie 2015), as specified in the
+    reference models/WindowModels.py:158-204 — independent re-implementation
+    for golden-parity testing. Sized down: n_steps derived, not 151."""
+
+    def __init__(self, nclass, seq_length):
+        super().__init__()
+        self.src_word_emb = torch_nn.Embedding(5, 5)
+        self.Conv1 = torch_nn.Conv1d(5, 320, 26)
+        self.Maxpool = torch_nn.MaxPool1d(13, 13)
+        self.Drop1 = torch_nn.Dropout(0.2)
+        self.BiLSTM = torch_nn.LSTM(320, 320, num_layers=2, batch_first=True,
+                                    dropout=0.5, bidirectional=True)
+        self.n_steps = (seq_length - 25) // 13
+        self.Linear1 = torch_nn.Linear(640 * self.n_steps, 925)
+        self.Linear2 = torch_nn.Linear(925, nclass)
+
+    def forward(self, x):
+        x = self.src_word_emb(x).permute(0, 2, 1)
+        x = torch.relu(self.Conv1(x))
+        x = self.Drop1(self.Maxpool(x))
+        x, _ = self.BiLSTM(torch.transpose(x, 1, 2))
+        x = x.contiguous().view(-1, 640 * self.n_steps)
+        x_feat = torch.relu(self.Linear1(x))
+        return x_feat, self.Linear2(x_feat)
+
+
+def test_danq_golden_parity_vs_torch():
+    seq = 26 + 13 * 5  # 5 LSTM steps, keeps the test fast
+    nclass = 7
+    tmodel = TorchDanQ(nclass, seq).eval()
+    rng = np.random.default_rng(3)
+    toks = rng.integers(0, 5, size=(2, seq)).astype(np.int64)
+    with torch.no_grad():
+        t_feat, t_logits = tmodel(torch.tensor(toks))
+
+    state = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    variables = torch_port.port_danq(state)
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    jmodel = DanQ(n_targets=nclass, seq_length=seq)
+    j_feat, j_logits = jmodel.apply(variables, jnp.asarray(toks), train=False)
+    np.testing.assert_allclose(np.asarray(j_feat), t_feat.numpy(), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(j_logits), t_logits.numpy(), rtol=1e-4, atol=1e-4)
