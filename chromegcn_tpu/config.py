@@ -76,6 +76,9 @@ class Config:
     load_pretrained: bool = False
     load_gcn: bool = False
     test_only: bool = False
+    joint: bool = False      # end-to-end CNN+GCN finetune (train/joint.py)
+    joint_chunk: int = 128   # CNN remat chunk size in joint mode
+    resume: bool = False     # resume epochs from the latest checkpoint
 
     # misc
     loss: str = "ce"

@@ -72,6 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-gate", action="store_true", default=True)
     p.add_argument("-no_gate", dest="gate", action="store_false")
     p.add_argument("-load_gcn", action="store_true")
+    p.add_argument("-joint", action="store_true")
+    p.add_argument("-joint_chunk", type=int, default=128)
+    p.add_argument("-resume", action="store_true")
     p.add_argument("-name", type=str, default=None)
     p.add_argument("-name2", type=str, default=None)
     p.add_argument("-seed", type=int, default=defaults.seed)

@@ -88,3 +88,36 @@ def joint_train_step(
     cstate = cstate.apply_gradients(grads=cgrads)
     cstate = cstate.replace(batch_stats=new_cstats)
     return wstate, cstate, loss
+
+
+@functools.partial(jax.jit, static_argnames=("chunk_size",))
+def joint_eval_step(
+    wstate: WindowTrainState,
+    cstate: ChromeTrainState,
+    tokens: jax.Array,
+    comp_map: jax.Array,
+    graph: SparseGraph,
+    targets: jax.Array,
+    chunk_size: int = 128,
+) -> Tuple[jax.Array, jax.Array]:
+    """Eval-mode joint forward for one chromosome: (loss, probs)."""
+    n = tokens.shape[0]
+
+    def cnn_chunk(toks):
+        x_f, x_r, _ = wstate.apply_fn(
+            {"params": wstate.params, "batch_stats": wstate.batch_stats},
+            toks, comp_map, train=False,
+        )
+        return x_f, x_r
+
+    chunks = tokens.reshape(n // chunk_size, chunk_size, -1)
+    x_f, x_r = jax.lax.map(cnn_chunk, chunks)
+    x_f = x_f.reshape(n, -1)
+    x_r = x_r.reshape(n, -1)
+
+    cvars = {"params": cstate.params, "batch_stats": cstate.batch_stats}
+    _, pred_f, _ = cstate.apply_fn(cvars, x_f, graph, train=False)
+    _, pred_r, _ = cstate.apply_fn(cvars, x_r, graph, train=False)
+    pred = (pred_f + pred_r) / 2.0
+    loss = bce_with_logits(pred, targets, graph.node_mask)
+    return loss, jax.nn.sigmoid(pred)

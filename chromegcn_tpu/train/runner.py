@@ -65,6 +65,21 @@ def run_pretrain(cfg: Config, splits: Dict[str, WindowDataset], verbose=print):
     )
     comp_map = jnp.asarray(complement_permutation(train_ds.src_vocab))
 
+    shard = None
+    if cfg.dp_devices > 1:
+        # batch-axis data parallelism over a named mesh: XLA shards the
+        # conv stack over devices and psums gradients over ICI (the
+        # TPU-native replacement for nn.DataParallel — reference: main.py:92-94)
+        from chromegcn_tpu.parallel.mesh import make_mesh, shard_batch
+
+        if cfg.batch_size % cfg.dp_devices != 0:
+            raise ValueError(
+                f"batch_size={cfg.batch_size} must divide dp_devices={cfg.dp_devices}"
+            )
+        mesh = make_mesh(cfg.dp_devices, axis="data")
+        shard = shard_batch(mesh)
+        verbose(f"data-parallel pretrain over {cfg.dp_devices} devices")
+
     run_dir = cfg.stage1_run_dir
     os.makedirs(run_dir, exist_ok=True)
 
@@ -98,7 +113,7 @@ def run_pretrain(cfg: Config, splits: Dict[str, WindowDataset], verbose=print):
             t0 = time.time()
             state, preds, targs, loss, _ = pt.run_window_epoch(
                 state, train_ds, comp_map, cfg.batch_size, train=cfg.pretrain,
-                rng=ep_rng, shuffle=cfg.shuffle_train,
+                rng=ep_rng, shuffle=cfg.shuffle_train, shard_batch=shard,
             )
             train_metrics = _metrics_for(
                 preds, targs, loss, (time.time() - t0) / 60, cfg, label_names
@@ -106,7 +121,8 @@ def run_pretrain(cfg: Config, splits: Dict[str, WindowDataset], verbose=print):
 
             t0 = time.time()
             state, preds, targs, valid_loss, _ = pt.run_window_epoch(
-                state, valid_ds, comp_map, cfg.test_batch_size, train=False
+                state, valid_ds, comp_map, cfg.test_batch_size, train=False,
+                shard_batch=shard,
             )
             valid_metrics = _metrics_for(
                 preds, targs, valid_loss, (time.time() - t0) / 60, cfg, label_names
@@ -118,7 +134,7 @@ def run_pretrain(cfg: Config, splits: Dict[str, WindowDataset], verbose=print):
         t0 = time.time()
         state, test_preds, test_targs, test_loss, test_feats = pt.run_window_epoch(
             state, test_ds, comp_map, cfg.test_batch_size, train=False,
-            collect_features=cfg.save_feats,
+            collect_features=cfg.save_feats, shard_batch=shard,
         )
         test_metrics = _metrics_for(
             test_preds, test_targs, test_loss, (time.time() - t0) / 60, cfg, label_names
@@ -312,8 +328,174 @@ def run_finetune(cfg: Config, verbose=print):
 
 def run(cfg: Config, splits: Optional[Dict[str, WindowDataset]] = None, verbose=print):
     """Top-level dispatch (reference: main.py:20-115 + runner.py:25-63)."""
+    if getattr(cfg, "joint", False):
+        return run_joint(cfg, splits, verbose=verbose)
     if cfg.pretrain or cfg.save_feats:
         if splits is None:
             splits = artifact.load_dataset(cfg.data_path)
         return run_pretrain(cfg, splits, verbose=verbose)
     return run_finetune(cfg, verbose=verbose)
+
+
+def _group_tokens_by_chrom(ds: WindowDataset) -> Dict[str, np.ndarray]:
+    return {
+        chrom: ds.tokens[ds.chroms == chrom] for chrom in ds.chrom_order()
+    }
+
+
+def run_joint(cfg: Config, splits: Optional[Dict[str, WindowDataset]] = None, verbose=print):
+    """Joint CNN+GCN end-to-end finetuning (BASELINE config #4; the reference
+    parses -optim2/-lr2 for this but never trains the CNN during finetune —
+    see train/joint.py)."""
+    from chromegcn_tpu.train.joint import joint_eval_step, joint_train_step
+
+    if splits is None:
+        splits = artifact.load_dataset(cfg.data_path)
+    train_ds = splits["train"]
+    label_names = list(train_ds.tgt_vocab.keys())
+    n_targets = train_ds.n_targets
+    comp_map = jnp.asarray(complement_permutation(train_ds.src_vocab))
+    chunk = cfg.joint_chunk
+
+    # group windows + targets per chromosome, pad to buckets
+    data = {}
+    for split, ds in splits.items():
+        per = {}
+        for chrom in ds.chrom_order():
+            sel = ds.chroms == chrom
+            n_valid = int(sel.sum())
+            n_pad = ft.bucket_nodes(n_valid, bucket=chunk * 2)
+            per[chrom] = {
+                "tokens": ft.pad_rows(ds.tokens[sel].astype(np.int32), n_pad),
+                "targets": ft.pad_rows(ds.targets[sel].astype(np.float32), n_pad),
+                "n_valid": n_valid,
+            }
+        data[split] = per
+
+    # graphs per chrom (reuse feature-free path: need n_valid per chrom)
+    use_bsr = cfg.spmm_impl == "pallas" or (
+        cfg.spmm_impl == "auto" and jax.default_backend() == "tpu"
+    )
+    hic = {}
+    if cfg.adj_type in ("hic", "both"):
+        hic = {
+            split: artifact.load_graph_edges(cfg.graph_path(split))
+            for split in splits
+        }
+    graphs = {}
+    for split, per in data.items():
+        graphs[split] = {}
+        for chrom, entry in per.items():
+            g = build_chrom_graph(
+                cfg.adj_type,
+                n_valid=entry["n_valid"],
+                n_pad=entry["tokens"].shape[0],
+                hic_edges=hic.get(split, {}).get(chrom) if hic else None,
+            )
+            if use_bsr:
+                from chromegcn_tpu.ops.spmm_pallas import attach_bsr
+
+                g = attach_bsr(g)
+            graphs[split][chrom] = g
+
+    wmodel = make_window_model(
+        cfg.window_model, n_targets, seq_length=cfg.seq_length, d_model=cfg.d_model
+    )
+    wstate = pt.create_window_state(
+        wmodel, make_optimizer(cfg.optim, cfg.lr),
+        jax.random.PRNGKey(cfg.seed), cfg.seq_length, train_ds.src_vocab,
+    )
+    cmodel = make_chrome_model(
+        cfg.chrome_model, nclass=n_targets, dropout=cfg.gcn_dropout,
+        gate=cfg.gate, layers=cfg.gcn_layers, nfeat=cfg.d_model,
+        spmm_impl=cfg.spmm_impl,
+    )
+    optim2, lr2 = cfg.gcn_optim_and_lr()
+    cstate = ft.create_chrome_state(
+        cmodel, make_optimizer(optim2, lr2), jax.random.PRNGKey(cfg.seed + 1),
+        nfeat=cfg.d_model,
+    )
+
+    # warm-start both stages from the pretrain checkpoint when available
+    if ckpt.checkpoint_exists(cfg.stage1_run_dir):
+        cnn = ckpt.restore_checkpoint(cfg.stage1_run_dir)
+        wstate = wstate.replace(
+            params=jax.tree_util.tree_map(jnp.asarray, cnn["params"]),
+            batch_stats=jax.tree_util.tree_map(jnp.asarray, cnn["batch_stats"]),
+        )
+        params, stats = ft.warm_start_head_from_window(
+            cstate.params, cstate.batch_stats, cnn["params"], cnn["batch_stats"]
+        )
+        cstate = cstate.replace(params=params, batch_stats=stats)
+        verbose("joint: warm-started CNN + GCN head from pretrain checkpoint")
+
+    run_dir = cfg.run_dir + ".joint"
+    os.makedirs(run_dir, exist_ok=True)
+    tracker = BestTracker()
+    logger = EpochLogger(run_dir)
+    rng = jax.random.PRNGKey(cfg.seed + 2)
+
+    def run_split(split, train):
+        nonlocal wstate, cstate, rng
+        preds, targs = [], []
+        total_loss = 0.0
+        for chrom, entry in data[split].items():
+            tokens = jnp.asarray(entry["tokens"])
+            targets = jnp.asarray(entry["targets"])
+            graph = graphs[split][chrom]
+            if train:
+                rng, step = jax.random.split(rng)
+                wstate, cstate, loss = joint_train_step(
+                    wstate, cstate, tokens, comp_map, graph, targets, step,
+                    chunk_size=chunk,
+                )
+                probs = None
+            else:
+                loss, probs = joint_eval_step(
+                    wstate, cstate, tokens, comp_map, graph, targets,
+                    chunk_size=chunk,
+                )
+                n_valid = entry["n_valid"]
+                preds.append(np.asarray(probs)[:n_valid])
+                targs.append(entry["targets"][:n_valid])
+            total_loss += float(loss)
+        if preds:
+            return np.concatenate(preds), np.concatenate(targs), total_loss
+        return None, None, total_loss
+
+    for epoch in range(1, cfg.epochs + 1):
+        t0 = time.time()
+        _, _, train_loss = run_split("train", train=True)
+        v_preds, v_targs, valid_loss = run_split("valid", train=False)
+        valid_metrics = _metrics_for(
+            v_preds, v_targs, valid_loss, (time.time() - t0) / 60, cfg, label_names
+        )
+        t_preds, t_targs, test_loss = run_split("test", train=False)
+        test_metrics = _metrics_for(
+            t_preds, t_targs, test_loss, 0.0, cfg, label_names
+        )
+        tracker.evaluate(valid_metrics, test_metrics, epoch)
+        logger.log("train", epoch, train_loss, valid_metrics)
+        logger.log("valid", epoch, valid_loss, valid_metrics)
+        logger.log("test", epoch, test_loss, test_metrics)
+        score = selection_score(valid_metrics)
+        if logger.maybe_snapshot(epoch, valid_loss, score, v_preds, v_targs, t_preds, t_targs):
+            ckpt.save_checkpoint(
+                run_dir,
+                {
+                    "window": {
+                        "params": ckpt.tree_to_numpy(wstate.params),
+                        "batch_stats": ckpt.tree_to_numpy(wstate.batch_stats),
+                    },
+                    "chrome": {
+                        "params": ckpt.tree_to_numpy(cstate.params),
+                        "batch_stats": ckpt.tree_to_numpy(cstate.batch_stats),
+                    },
+                },
+                epoch,
+            )
+        verbose(
+            f"epoch {epoch}: joint test meanAUC={test_metrics['meanAUC']:.4f} "
+            f"meanAUPR={test_metrics['meanAUPR']:.4f} loss={test_loss:.3f}"
+        )
+    return (wstate, cstate), tracker

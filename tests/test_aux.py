@@ -1,0 +1,129 @@
+"""Aux subsystems: variant effects, expression labels, saliency, analysis,
+summarize, profiling counters."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chromegcn_tpu.analysis import saliency
+from chromegcn_tpu.analysis.chord import chord_plot
+from chromegcn_tpu.analysis.results import per_label_table, write_per_label_csv
+from chromegcn_tpu.data.constants import SRC_VOCAB
+from chromegcn_tpu.data.synthetic import make_window_dataset
+from chromegcn_tpu.models.chrome import ChromeGCN
+from chromegcn_tpu.models.window import Expecto
+from chromegcn_tpu.ops.seq import complement_permutation
+from chromegcn_tpu.ops.sparse import build_chrom_graph
+from chromegcn_tpu.pipeline import expression, genome, variants
+from chromegcn_tpu.train.optim import make_optimizer
+from chromegcn_tpu.train.pretrain import create_window_state
+from chromegcn_tpu.utils.profiling import Throughput
+from chromegcn_tpu.utils.summarize import summarize_data
+
+
+def test_variant_effect_scores(tmp_path):
+    rng = np.random.default_rng(0)
+    seq = "".join(rng.choice(list("acgt"), size=3000))
+    fasta_path = str(tmp_path / "g.fa")
+    genome.write_fasta(fasta_path, {"chr1": seq})
+    fa = genome.Fasta(fasta_path)
+
+    pos = 1500
+    ref = seq[pos]
+    alt = "a" if ref != "a" else "c"
+
+    model = Expecto(n_targets=3, seq_length=500, d_model=8)
+    state = create_window_state(
+        model, make_optimizer("adam", 1e-3), jax.random.PRNGKey(0), 500, SRC_VOCAB
+    )
+    comp_map = jnp.asarray(complement_permutation(SRC_VOCAB))
+    scores = variants.score_snp_table(
+        state, comp_map, fa, [("chr1", pos, ref, alt)], extended=500
+    )
+    assert scores.shape == (1, 3)
+    assert np.isfinite(scores).all()
+    assert not np.allclose(scores, 0)  # the substitution must change predictions
+
+    # probe: wrong ref allele is rejected
+    import pytest
+
+    wrong = "t" if ref != "t" else "g"
+    with pytest.raises(ValueError, match="reference mismatch"):
+        variants.variant_sequences(fa, "chr1", pos, wrong, alt, extended=500)
+
+
+def test_expression_labels():
+    vals = np.array([[10, 12, 11], [0.1, 0.2, 0.1], [5, 6, 5], [0.0, 0.0, 0.1]])
+    expressed = expression.threshold_expression(vals, "median")
+    assert expressed.tolist() == [1, 0, 1, 0]
+    tss = expression.annotate_tss(
+        np.array([100, 200]), np.array(["+", "-"]), np.array([150, 250])
+    )
+    assert tss.tolist() == [100, 250]
+    labels = expression.tss_window_labels(
+        np.array([0, 1000, 2000]), np.array([1500, 2500]), np.array([1, 1])
+    )
+    assert labels.tolist() == [0, 1, 1]
+
+
+def _small_gcn():
+    n, d = 32, 8
+    graph = build_chrom_graph("constant", n_valid=n, n_pad=n)
+    model = ChromeGCN(nfeat=d, nhid=d, nclass=4, dropout=0.0, layers=2)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(n, d)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, graph, train=False)
+    return model, variables, x, graph
+
+
+def test_saliency_and_gates():
+    model, variables, x, graph = _small_gcn()
+    sal = saliency.adjacency_saliency(model, variables, x, graph, target_label=1)
+    assert sal.shape == graph.vals.shape
+    assert np.isfinite(sal).all() and not np.allclose(sal, 0)
+    g1, g2 = saliency.gate_values(model, variables, x, graph)
+    assert g1.shape == (32, 1) and g2.shape == (32, 1)
+    fs = saliency.feature_saliency(model, variables, x, graph, target_label=0)
+    assert fs.shape == x.shape
+    emb = saliency.refined_embeddings(model, variables, x, graph)
+    assert emb.shape == x.shape
+
+
+def test_chord_plot_writes_png(tmp_path):
+    _, variables, x, graph = _small_gcn()
+    out = chord_plot(graph, title="test", out_path=str(tmp_path / "chord.png"))
+    assert os.path.exists(out)
+    assert os.path.getsize(out) > 1000
+
+
+def test_per_label_table_and_csv(tmp_path):
+    rng = np.random.default_rng(0)
+    targets = (rng.random((50, 3)) < 0.4).astype(float)
+    preds = targets * 0.6 + rng.random((50, 3)) * 0.4
+    table = per_label_table(preds, targets, ["a", "b", "c"])
+    assert np.all(table["auroc"] > 0.5)
+    path = str(tmp_path / "labels.csv")
+    write_per_label_csv(path, preds, targets, ["a", "b", "c"])
+    lines = open(path).read().splitlines()
+    assert len(lines) == 4 and lines[0].startswith("label,")
+
+
+def test_summarize_data():
+    splits = {
+        "train": make_window_dataset({"chr2": 10}, n_targets=4, seq_length=100, seed=0),
+        "valid": make_window_dataset({"chr3": 6}, n_targets=4, seq_length=100, seed=1),
+        "test": make_window_dataset({"chr1": 6}, n_targets=4, seq_length=100, seed=2),
+    }
+    stats = summarize_data(splits, verbose=lambda *a: None)
+    assert stats["num_train"] == 10
+    assert stats["mean_labels_per_sample"] >= 0
+    assert stats["label_pearson"].shape == (4, 4)
+
+
+def test_throughput_counter():
+    t = Throughput()
+    t.start()
+    rates = t.step(edges=1000)
+    assert rates["edges"] > 0
+    assert "edges/s" in t.summary()
