@@ -241,12 +241,30 @@ def run_finetune(cfg: Config, verbose=print):
     run_dir = cfg.run_dir
     os.makedirs(run_dir, exist_ok=True)
 
-    if cfg.load_gcn and ckpt.checkpoint_exists(run_dir):
+    start_epoch = 1
+    if cfg.resume and ckpt.checkpoint_exists(run_dir):
         restored = ckpt.restore_checkpoint(
             run_dir,
             template={
                 "params": jax.device_get(state.params),
                 "batch_stats": jax.device_get(state.batch_stats),
+                "opt_state": jax.device_get(state.opt_state),
+            },
+        )
+        state = state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+        )
+        start_epoch = int(restored["epoch"]) + 1
+        verbose(f"resumed GCN training at epoch {start_epoch}")
+    elif cfg.load_gcn and ckpt.checkpoint_exists(run_dir):
+        restored = ckpt.restore_checkpoint(
+            run_dir,
+            template={
+                "params": jax.device_get(state.params),
+                "batch_stats": jax.device_get(state.batch_stats),
+                "opt_state": jax.device_get(state.opt_state),
             },
         )
         state = state.replace(
@@ -266,7 +284,7 @@ def run_finetune(cfg: Config, verbose=print):
     logger = EpochLogger(run_dir)
     score_history = []
 
-    for epoch in range(1, cfg.epochs + 1):
+    for epoch in range(start_epoch, cfg.epochs + 1):
         lr_e = steplr_lr(lr, epoch, cfg.lr_decay2 > 0, cfg.lr_step_size2)
         state = state.replace(opt_state=set_learning_rate(state.opt_state, lr_e))
 
@@ -315,6 +333,7 @@ def run_finetune(cfg: Config, verbose=print):
                     {
                         "params": ckpt.tree_to_numpy(state.params),
                         "batch_stats": ckpt.tree_to_numpy(state.batch_stats),
+                        "opt_state": ckpt.tree_to_numpy(state.opt_state),
                     },
                     epoch, cfg.save_mode, score,
                 )

@@ -81,3 +81,24 @@ def test_finetune_gcn_trains_on_saved_features(tiny_world):
     # pipeline produced a sane metric, not model quality
     assert 0.0 < tracker.best_test["meanAUC"] <= 1.0
     assert os.path.isdir(os.path.join(ft_cfg.run_dir, "ckpt"))
+
+
+def test_finetune_resume_continues_epochs(tiny_world):
+    cfg, splits = tiny_world
+    import dataclasses
+
+    base = dataclasses.replace(
+        cfg, pretrain=False, save_feats=False, load_pretrained=True,
+        epochs=2, adj_type="constant", gcn_dropout=0.0, d_model=32,
+        name2="resume",
+    )
+    run(base, verbose=lambda *a: None)
+    # resume: same run dir, more epochs — must pick up at epoch 3
+    resumed = dataclasses.replace(base, epochs=4, resume=True)
+    msgs = []
+    run(resumed, verbose=lambda *a: msgs.append(" ".join(str(x) for x in a)))
+    # checkpoint epoch = last score-improving epoch (1 or 2)
+    assert any("resumed GCN training at epoch" in m for m in msgs), msgs
+    logs = open(os.path.join(resumed.run_dir, "train.log")).read().splitlines()
+    epochs_logged = [int(line.split(",")[0]) for line in logs]
+    assert epochs_logged[-1] == 4
