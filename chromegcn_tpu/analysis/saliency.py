@@ -79,3 +79,13 @@ def feature_saliency(
         return jnp.sum(logits[:, target_label])
 
     return np.asarray(jax.grad(score)(x))
+
+
+def tsne_embeddings(embeddings: np.ndarray, **tsne_kwargs) -> np.ndarray:
+    """2-D t-SNE of refined node embeddings (reference: scripts/visualize.py
+    t-SNE section)."""
+    from sklearn.manifold import TSNE
+
+    kwargs = {"n_components": 2, "init": "pca", "random_state": 0}
+    kwargs.update(tsne_kwargs)
+    return TSNE(**kwargs).fit_transform(np.asarray(embeddings))

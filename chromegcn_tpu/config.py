@@ -69,6 +69,7 @@ class Config:
     hicnorm: str = "SQRTVC"        # KR | VC | SQRTVC | ''
     hicsize: str = "500000"        # 125000 | 250000 | 500000 | 1000000
     spmm_impl: str = "auto"
+    spmm_dtype: str = "float32"  # float32 (parity) | bfloat16 (fast)
 
     # modes
     pretrain: bool = False

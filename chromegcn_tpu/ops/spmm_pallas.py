@@ -78,6 +78,7 @@ def _build_one_direction(
     n_nodes: int,
     tile: int,
     min_edges_per_tile: int,
+    dtype=np.float32,
 ) -> BSRMatrix:
     nb = n_nodes // tile
     rb = receivers // tile
@@ -139,7 +140,7 @@ def _build_one_direction(
     rem_v[: len(rs)] = rv
 
     return BSRMatrix(
-        tiles=jnp.asarray(tiles),
+        tiles=jnp.asarray(tiles.astype(dtype) if dtype != np.float32 else tiles),
         tile_rb=jnp.asarray(tile_rb),
         tile_cb=jnp.asarray(tile_cb),
         tile_first=jnp.asarray(tile_first),
@@ -152,20 +153,27 @@ def _build_one_direction(
 
 
 def bsr_from_graph(
-    graph: SparseGraph, tile: int = TILE, min_edges_per_tile: int = 24
+    graph: SparseGraph, tile: int = TILE, min_edges_per_tile: int = 24,
+    dtype: str = "float32",
 ) -> BSROperator:
-    """Convert a padded-COO SparseGraph into forward+transposed BSR forms."""
+    """Convert a padded-COO SparseGraph into forward+transposed BSR forms.
+
+    dtype: 'float32' (exact, HIGHEST-precision matmuls — parity mode) or
+    'bfloat16' (fast mode: half the tile HBM traffic, single-pass MXU;
+    ~0.4% relative error on row-normalized adjacency values).
+    """
     if graph.n_nodes % tile != 0:
         raise ValueError(
             f"n_nodes={graph.n_nodes} must be a multiple of tile={tile}; "
             "pad the graph with n_pad a multiple of the tile size"
         )
+    np_dtype = {"float32": np.float32, "bfloat16": jnp.bfloat16}[dtype]
     n_edges = int(graph.n_edges)
     s = np.asarray(graph.senders)[:n_edges]
     r = np.asarray(graph.receivers)[:n_edges]
     v = np.asarray(graph.vals)[:n_edges]
-    fwd = _build_one_direction(s, r, v, graph.n_nodes, tile, min_edges_per_tile)
-    bwd = _build_one_direction(r, s, v, graph.n_nodes, tile, min_edges_per_tile)
+    fwd = _build_one_direction(s, r, v, graph.n_nodes, tile, min_edges_per_tile, np_dtype)
+    bwd = _build_one_direction(r, s, v, graph.n_nodes, tile, min_edges_per_tile, np_dtype)
     return BSROperator(fwd=fwd, bwd=bwd)
 
 
@@ -211,17 +219,21 @@ def _bsr_matmul(m: BSRMatrix, x: jax.Array) -> jax.Array:
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
+        fast = tiles_ref.dtype == jnp.bfloat16
         for k in range(K):
             t = step * K + k
             rb = pl.multiple_of(rb_ref[t] * tile, tile)
             cb = pl.multiple_of(cb_ref[t] * tile, tile)
+            xs = x_ref[pl.ds(cb, tile), :]
             contrib = jnp.dot(
                 tiles_ref[k],
-                x_ref[pl.ds(cb, tile), :],
+                xs.astype(jnp.bfloat16) if fast else xs,
                 preferred_element_type=jnp.float32,
-                # full f32 accuracy (bf16x3) — parity with the reference's
-                # cuSPARSE f32 SpMM is a BASELINE requirement
-                precision=jax.lax.Precision.HIGHEST,
+                # parity mode: full f32 accuracy (bf16x3) matching the
+                # reference's cuSPARSE f32 SpMM; fast mode: single bf16 pass
+                precision=(
+                    jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
+                ),
             )
             out_ref[pl.ds(rb, tile), :] += contrib
 
@@ -283,10 +295,11 @@ _spmm_bsr.defvjp(_spmm_bsr_fwd, _spmm_bsr_bwd)
 
 
 def attach_bsr(
-    graph: SparseGraph, tile: int = TILE, min_edges_per_tile: int = 24
+    graph: SparseGraph, tile: int = TILE, min_edges_per_tile: int = 24,
+    dtype: str = "float32",
 ) -> SparseGraph:
     """Return the graph with a precomputed BSROperator attached (host-side)."""
-    return graph.replace(bsr=bsr_from_graph(graph, tile, min_edges_per_tile))
+    return graph.replace(bsr=bsr_from_graph(graph, tile, min_edges_per_tile, dtype))
 
 
 def spmm_pallas(graph, x: jax.Array) -> jax.Array:

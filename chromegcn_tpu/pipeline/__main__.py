@@ -24,9 +24,13 @@ def main(argv=None) -> None:
     p.add_argument("--window", type=int, default=1000)
     p.add_argument("--extended", type=int, default=2000)
     p.add_argument("--min-frac", type=float, default=0.1)
+    p.add_argument("--small", type=int, default=0,
+                   help="also write dataset_small.npz with N windows per split")
     p.add_argument("--hicsize", type=int, default=500_000)
     p.add_argument("--hicnorm", default="SQRTVC", choices=["KR", "VC", "SQRTVC", ""])
     p.add_argument("--resolution", type=int, default=1000, help="Hi-C bin size (bp)")
+    p.add_argument("--upsample-5kb", action="store_true",
+                   help="replicate 5kb Hi-C contacts onto the 1kb grid (K562 flow)")
     args = p.parse_args(argv)
 
     from chromegcn_tpu.pipeline.build import build_dataset, build_hic_graphs
@@ -34,12 +38,13 @@ def main(argv=None) -> None:
     splits = build_dataset(
         args.fasta, args.peaks, args.out,
         window=args.window, extended=args.extended, min_frac=args.min_frac,
+        small_per_split=args.small,
     )
     if args.hic:
         build_hic_graphs(
             splits, args.hic, args.out,
             hicsize=args.hicsize, hicnorm=args.hicnorm,
-            resolution_bp=args.resolution,
+            resolution_bp=args.resolution, upsample_5kb=args.upsample_5kb,
         )
 
 

@@ -50,6 +50,7 @@ def build_dataset(
     window: int = WINDOW_SIZE,
     extended: int = EXTENDED_WINDOW_SIZE,
     min_frac: float = 0.1,
+    small_per_split: int = 0,
     verbose=print,
 ) -> Dict[str, WindowDataset]:
     """Build and save the windows dataset (dataset.npz) from raw inputs."""
@@ -113,6 +114,23 @@ def build_dataset(
     os.makedirs(out_dir, exist_ok=True)
     artifact.save_dataset(os.path.join(out_dir, "dataset.npz"), splits)
     verbose(f"wrote {os.path.join(out_dir, 'dataset.npz')}")
+
+    if small_per_split:
+        # small-subset artifact for quick experiments (reference -small flag:
+        # config_args.py:121-122 loads train_valid_test_small.pt)
+        small = {
+            name: WindowDataset(
+                tokens=ds.tokens[:small_per_split],
+                targets=ds.targets[:small_per_split],
+                chroms=ds.chroms[:small_per_split],
+                starts=ds.starts[:small_per_split],
+                src_vocab=ds.src_vocab,
+                tgt_vocab=ds.tgt_vocab,
+            )
+            for name, ds in splits.items()
+        }
+        artifact.save_dataset(os.path.join(out_dir, "dataset_small.npz"), small)
+        verbose(f"wrote {os.path.join(out_dir, 'dataset_small.npz')}")
     return splits
 
 
@@ -123,6 +141,7 @@ def build_hic_graphs(
     hicsize: int = 500_000,
     hicnorm: str = "SQRTVC",
     resolution_bp: int = 1000,
+    upsample_5kb: bool = False,
     verbose=print,
 ) -> None:
     """Build per-split Hi-C graph artifacts from RAWobserved dumps.
@@ -147,6 +166,29 @@ def build_hic_graphs(
                 norm_path = os.path.join(hic_dir, f"{chrom}.{hicnorm}norm")
                 if not os.path.exists(norm_path):
                     norm_path = None
+            if upsample_5kb:
+                # K562 flow: replicate 5kb contacts onto the 1kb grid first
+                # (reference: data/extras/upsample_hic.py:25-45), writing a
+                # temporary upsampled dump next to the raw file once.
+                up = raw + ".upsampled1kb"
+                if not os.path.exists(up):
+                    import numpy as _np
+
+                    b1, b2, vals = [], [], []
+                    with open(raw) as f:
+                        for line in f:
+                            parts = line.split()
+                            if len(parts) >= 3:
+                                b1.append(int(parts[0]))
+                                b2.append(int(parts[1]))
+                                vals.append(float(parts[2]))
+                    ub1, ub2, uv = hic.upsample_contacts_5kb_to_1kb(
+                        _np.asarray(b1), _np.asarray(b2), _np.asarray(vals)
+                    )
+                    with open(up, "w") as f:
+                        for a, b, c in zip(ub1, ub2, uv):
+                            f.write(f"{a}\t{b}\t{c}\n")
+                raw = up
             s, r, v = hic.chrom_topk_edges(
                 raw, starts, n_pairs, norm_path=norm_path,
                 resolution_bp=resolution_bp,

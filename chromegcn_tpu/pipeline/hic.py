@@ -47,6 +47,7 @@ def chrom_topk_edges(
     n_pairs: int,
     norm_path: Optional[str] = None,
     resolution_bp: int = 1000,
+    max_dist_bp: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Top-k contact pairs for one chromosome as window-index COO.
 
@@ -57,6 +58,8 @@ def chrom_topk_edges(
       n_pairs: number of undirected pairs to keep (= hicsize / 2,
         reference: data/7create_graph_new.py:168).
       norm_path: optional normalization vector file.
+      max_dist_bp: optional genomic-distance cutoff (the reference's older
+        graph builder thresholds by distance — data/7create_graph_old.py).
 
     Returns (senders, receivers, vals): symmetric directed COO over window
     indices with binary values (reference: create_adj_mat sets 1 both ways,
@@ -67,6 +70,11 @@ def chrom_topk_edges(
     b1, b2, _vals = native_bridge.hic_topk(
         raw_path, window_starts, n_pairs, norm=norm, resolution_bp=resolution_bp
     )
+    if max_dist_bp is not None:
+        # distance-thresholded variant (reference: data/7create_graph_old.py
+        # keeps contacts within a genomic distance)
+        keep = np.abs(b1 - b2) <= max_dist_bp
+        b1, b2 = b1[keep], b2[keep]
     idx = {int(s): i for i, s in enumerate(window_starts)}
     i1 = np.asarray([idx[int(b)] for b in b1], dtype=np.int32)
     i2 = np.asarray([idx[int(b)] for b in b2], dtype=np.int32)

@@ -40,6 +40,17 @@ from chromegcn_tpu.utils.evals import (
 )
 
 
+class NonFiniteLossError(RuntimeError):
+    """Raised when a split's loss goes NaN/Inf — failure detection the
+    reference lacks (SURVEY §5: its only failure path is KeyboardInterrupt)."""
+
+
+def _check_finite(loss: float, where: str) -> float:
+    if not np.isfinite(loss):
+        raise NonFiniteLossError(f"non-finite loss ({loss}) during {where}")
+    return loss
+
+
 def _metrics_for(preds, targs, loss, elapsed, cfg: Config, label_names):
     return compute_metrics(
         preds, targs, loss, elapsed,
@@ -85,15 +96,12 @@ def run_pretrain(cfg: Config, splits: Dict[str, WindowDataset], verbose=print):
 
     if cfg.save_feats or cfg.load_pretrained:
         if ckpt.checkpoint_exists(run_dir):
-            restored = ckpt.restore_checkpoint(
-                run_dir,
-                template={
-                    "params": jax.device_get(state.params),
-                    "batch_stats": jax.device_get(state.batch_stats),
-                },
-            )
+            restored = ckpt.restore_checkpoint(run_dir)
             state = state.replace(
-                params=restored["params"], batch_stats=restored["batch_stats"]
+                params=jax.tree_util.tree_map(jnp.asarray, restored["params"]),
+                batch_stats=jax.tree_util.tree_map(
+                    jnp.asarray, restored["batch_stats"]
+                ),
             )
             verbose(f"restored window checkpoint from {run_dir}")
 
@@ -101,7 +109,25 @@ def run_pretrain(cfg: Config, splits: Dict[str, WindowDataset], verbose=print):
     logger = EpochLogger(run_dir)
     score_history = []
 
-    for epoch in range(1, cfg.epochs + 1):
+    start_epoch = 1
+    if cfg.resume and cfg.pretrain and ckpt.checkpoint_exists(run_dir):
+        restored = ckpt.restore_checkpoint(
+            run_dir,
+            template={
+                "params": jax.device_get(state.params),
+                "batch_stats": jax.device_get(state.batch_stats),
+                "opt_state": jax.device_get(state.opt_state),
+            },
+        )
+        state = state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+        )
+        start_epoch = int(restored["epoch"]) + 1
+        verbose(f"resumed pretraining at epoch {start_epoch}")
+
+    for epoch in range(start_epoch, cfg.epochs + 1):
         lr = steplr_lr(cfg.lr, epoch, cfg.lr_decay2 > 0, cfg.lr_step_size2)
         state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
 
@@ -115,6 +141,7 @@ def run_pretrain(cfg: Config, splits: Dict[str, WindowDataset], verbose=print):
                 state, train_ds, comp_map, cfg.batch_size, train=cfg.pretrain,
                 rng=ep_rng, shuffle=cfg.shuffle_train, shard_batch=shard,
             )
+            _check_finite(loss, f"pretrain epoch {epoch}")
             train_metrics = _metrics_for(
                 preds, targs, loss, (time.time() - t0) / 60, cfg, label_names
             )
@@ -167,6 +194,7 @@ def run_pretrain(cfg: Config, splits: Dict[str, WindowDataset], verbose=print):
                     {
                         "params": ckpt.tree_to_numpy(state.params),
                         "batch_stats": ckpt.tree_to_numpy(state.batch_stats),
+                        "opt_state": ckpt.tree_to_numpy(state.opt_state),
                     },
                     epoch, cfg.save_mode, score,
                 )
@@ -208,7 +236,7 @@ def build_split_graphs(
         if use_bsr:
             from chromegcn_tpu.ops.spmm_pallas import attach_bsr
 
-            g = attach_bsr(g)
+            g = attach_bsr(g, dtype=cfg.spmm_dtype)
         graphs[chrom] = g
     return graphs
 
@@ -297,6 +325,7 @@ def run_finetune(cfg: Config, verbose=print):
             state, preds, targs, loss = ft.run_chrome_epoch(
                 state, features["train"], graphs["train"], train=True, rng=ep_rng
             )
+            _check_finite(loss, f"finetune epoch {epoch}")
             train_metrics = _metrics_for(
                 preds, targs, loss, (time.time() - t0) / 60, cfg, label_names
             )

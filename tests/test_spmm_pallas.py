@@ -87,3 +87,13 @@ def test_bsr_under_jit_with_attached_graph():
     np.testing.assert_allclose(
         np.asarray(f(g, x)), dense @ np.asarray(x), rtol=1e-4, atol=1e-4
     )
+
+
+def test_bsr_bf16_fast_mode_close_to_f32():
+    g, dense = _graph(512, seed=12)
+    g16 = attach_bsr(g, tile=256, min_edges_per_tile=8, dtype="bfloat16")
+    x = jnp.asarray(np.random.default_rng(13).normal(size=(512, 128)).astype(np.float32))
+    out16 = np.asarray(spmm(g16, x, impl="pallas"))
+    ref = dense @ np.asarray(x)
+    # bf16 tiles + bf16 x: ~0.4% relative tolerance
+    np.testing.assert_allclose(out16, ref, rtol=2e-2, atol=5e-2)
