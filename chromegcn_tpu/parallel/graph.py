@@ -8,12 +8,16 @@ the owning devices (BASELINE north star: edge partitioning + boundary
 feature exchange over ICI).
 
 Two exchange strategies:
-- ``all_gather``: every device gathers the full X (N x d). Simple and, at
-  d=128, cheap relative to compute; bandwidth N*d per device per layer.
-- ``halo``: each device prefetches only the remote rows its edges read,
-  using a precomputed halo index list; exchange is an all_gather of the
-  *requested* rows only (ragged -> padded to the max halo size). Wins when
-  halo << N (strong short-range locality of Hi-C contacts).
+- ``all_gather``: every device gathers the full X (N x d). Simple; traffic
+  per device = N x d per layer.
+- ``halo``: a true boundary exchange. At partition time each shard records
+  exactly which remote rows its edges read, grouped by owning shard; at
+  run time every owner gathers the rows each peer requested into a send
+  buffer and a single ``all_to_all`` delivers them. Traffic per device =
+  S x H_max x d where H_max is the (padded) largest per-owner request —
+  for diagonal-dominant Hi-C graphs the halo is a thin boundary band, so
+  H_max << N and the exchange rides ICI at a fraction of the all_gather
+  cost.
 
 Both are exact: ``sharded_spmm(partition(g), x) == spmm(g, x)`` (tested in
 tests/test_partition.py).
@@ -21,9 +25,7 @@ tests/test_partition.py).
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -40,19 +42,26 @@ class PartitionedGraph:
 
     Shard s owns rows [s*rows_per_shard, (s+1)*rows_per_shard).
     ``senders`` are *global* node ids; ``receivers_local`` are local row ids.
-    ``halo_idx`` (optional) lists the global ids each shard reads, padded
-    with 0; ``senders_halo`` indexes into the shard's halo buffer instead of
-    the global X.
+
+    Halo metadata (present when built with build_halo=True):
+      send_map:     (S, S, H) int32 — send_map[owner, dest] lists the
+                    *local* row ids ``owner`` must ship to ``dest`` (padded
+                    with 0; padding slots are ignored by construction
+                    because no edge reads them).
+      senders_halo: (S, E_s) int32 — per edge, the position of its sender
+                    inside the shard's received halo buffer, which is laid
+                    out as S owner-blocks of H rows each.
     """
 
     senders: jax.Array           # (S, E_s) int32 global
     receivers_local: jax.Array   # (S, E_s) int32 local
     vals: jax.Array              # (S, E_s) float32
     node_mask: jax.Array         # (S, rows_per_shard) bool
-    halo_idx: Optional[jax.Array]     # (S, H) int32 global ids this shard reads
-    senders_halo: Optional[jax.Array] # (S, E_s) int32 index into halo buffer
+    send_map: Optional[jax.Array]     # (S, S, H) int32
+    senders_halo: Optional[jax.Array] # (S, E_s) int32
     n_shards: int = struct.field(pytree_node=False)
     rows_per_shard: int = struct.field(pytree_node=False)
+    halo_width: int = struct.field(pytree_node=False, default=0)
 
     @property
     def n_nodes(self) -> int:
@@ -82,36 +91,56 @@ def partition_graph(
     R = np.zeros((n_shards, e_pad), np.int32)
     V = np.zeros((n_shards, e_pad), np.float32)
     M = np.zeros((n_shards, rows), bool)
-    halo_lists = []
+    # needed[s][o]: sorted unique global rows shard s reads from owner o
+    needed = [[None] * n_shards for _ in range(n_shards)]
     for s, ix in enumerate(per_shard):
         k = len(ix)
         S[s, :k] = senders[ix]
         R[s, :k] = receivers[ix] - s * rows
         V[s, :k] = vals[ix]
         M[s] = node_mask[s * rows : (s + 1) * rows]
-        halo_lists.append(np.unique(senders[ix]))
+        uniq = np.unique(senders[ix])
+        owner = uniq // rows
+        for o in range(n_shards):
+            needed[s][o] = uniq[owner == o]
 
-    halo_idx = senders_halo = None
+    send_map = senders_halo = None
+    h_pad = 0
     if build_halo:
-        h_max = max((len(h) for h in halo_lists), default=1)
-        h_pad = int(np.ceil(max(h_max, 1) / 256) * 256)
-        halo_idx = np.zeros((n_shards, h_pad), np.int32)
+        h_max = max(
+            (len(needed[s][o]) for s in range(n_shards) for o in range(n_shards)),
+            default=1,
+        )
+        h_pad = int(np.ceil(max(h_max, 1) / 128) * 128)
+        send_map = np.zeros((n_shards, n_shards, h_pad), np.int32)
         senders_halo = np.zeros((n_shards, e_pad), np.int32)
-        for s, h in enumerate(halo_lists):
-            halo_idx[s, : len(h)] = h
+        for s in range(n_shards):
+            for o in range(n_shards):
+                req = needed[s][o]
+                # owner o ships these (local ids) to destination s
+                send_map[o, s, : len(req)] = req - o * rows
+            # halo buffer layout at shard s: owner-blocks of h_pad rows each;
+            # edge sender g sits at o*h_pad + rank of g within needed[s][o]
             k = len(per_shard[s])
-            # position of each edge's sender within the shard's halo list
-            senders_halo[s, :k] = np.searchsorted(h, senders[per_shard[s]])
+            es = senders[per_shard[s]]
+            owner = es // rows
+            pos = np.zeros(k, np.int64)
+            for o in range(n_shards):
+                sel = owner == o
+                if sel.any():
+                    pos[sel] = o * h_pad + np.searchsorted(needed[s][o], es[sel])
+            senders_halo[s, :k] = pos
 
     return PartitionedGraph(
         senders=jnp.asarray(S),
         receivers_local=jnp.asarray(R),
         vals=jnp.asarray(V),
         node_mask=jnp.asarray(M),
-        halo_idx=None if halo_idx is None else jnp.asarray(halo_idx),
+        send_map=None if send_map is None else jnp.asarray(send_map),
         senders_halo=None if senders_halo is None else jnp.asarray(senders_halo),
         n_shards=n_shards,
         rows_per_shard=rows,
+        halo_width=h_pad,
     )
 
 
@@ -120,7 +149,7 @@ def sharded_spmm(
     x: jax.Array,
     mesh: Mesh,
     axis: str = "graph",
-    strategy: str = "all_gather",
+    strategy: str = "halo",
 ) -> jax.Array:
     """SpMM over a node-sharded feature matrix via shard_map.
 
@@ -128,6 +157,7 @@ def sharded_spmm(
     Returns (N, d) with the same sharding.
     """
     rows = pg.rows_per_shard
+    n_shards = pg.n_shards
 
     if strategy == "all_gather":
 
@@ -141,22 +171,25 @@ def sharded_spmm(
         args = (pg.senders, pg.receivers_local, pg.vals, x)
         in_specs = (P(axis, None), P(axis, None), P(axis, None), P(axis, None))
     elif strategy == "halo":
-        if pg.halo_idx is None:
+        if pg.send_map is None:
             raise ValueError("partition was built without halo metadata")
 
-        def kernel(halo_idx, senders_halo, receivers_local, vals, x_local):
-            # Exchange only the requested boundary rows: gather my halo rows
-            # from the globally-gathered X. XLA lowers the all_gather over
-            # ICI; the local gather then touches H rows instead of E.
-            x_full = jax.lax.all_gather(x_local, axis, axis=0, tiled=True)
-            halo_feats = jnp.take(x_full, halo_idx[0], axis=0)  # (H, d)
-            gathered = jnp.take(halo_feats, senders_halo[0], axis=0) * vals[0][:, None]
+        def kernel(send_map, senders_halo, receivers_local, vals, x_local):
+            # Gather the rows each peer requested from me: (S, H, d)
+            send_buf = jnp.take(x_local, send_map[0], axis=0)
+            # One all_to_all delivers every shard's requests: slice o of the
+            # result is what owner o shipped to me == the rows I requested.
+            recv = jax.lax.all_to_all(
+                send_buf, axis, split_axis=0, concat_axis=0, tiled=False
+            )
+            halo = recv.reshape(-1, x_local.shape[-1])  # (S*H, d) owner-blocks
+            gathered = jnp.take(halo, senders_halo[0], axis=0) * vals[0][:, None]
             return jax.ops.segment_sum(
                 gathered, receivers_local[0], num_segments=rows
             )
 
-        args = (pg.halo_idx, pg.senders_halo, pg.receivers_local, pg.vals, x)
-        in_specs = (P(axis, None),) * 5
+        args = (pg.send_map, pg.senders_halo, pg.receivers_local, pg.vals, x)
+        in_specs = (P(axis, None, None), P(axis, None), P(axis, None), P(axis, None), P(axis, None))
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
 
