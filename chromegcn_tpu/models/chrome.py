@@ -68,7 +68,19 @@ class GraphConvolution(nn.Module):
             raise NotImplementedError(self.init_method)
         weight = self.param("weight", w_init, (in_features, self.out_features))
         support = jnp.dot(x, weight, preferred_element_type=jnp.float32)
-        out = spmm(graph, support, impl=self.spmm_impl) if graph is not None else support
+        if graph is not None:
+            if support.ndim == 3:
+                # (N, S, d) strand-stacked input: SpMM is linear over the
+                # feature axis, so both strands share one aggregation pass
+                # over the adjacency (halves SpMM count per layer)
+                n, s, d = support.shape
+                out = spmm(
+                    graph, support.reshape(n, s * d), impl=self.spmm_impl
+                ).reshape(n, s, d)
+            else:
+                out = spmm(graph, support, impl=self.spmm_impl)
+        else:
+            out = support
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.out_features,))
             out = out + bias
@@ -76,7 +88,13 @@ class GraphConvolution(nn.Module):
 
 
 class ChromeGCN(nn.Module):
-    """Gated residual 2-layer GCN head (reference: models/ChromeModels.py:21-52)."""
+    """Gated residual 2-layer GCN head (reference: models/ChromeModels.py:21-52).
+
+    Accepts (N, d) single-strand or (N, S, d) strand-stacked inputs; the
+    stacked form runs both strands through each SpMM in one pass (they share
+    the adjacency — the reference runs two sequential passes,
+    finetune.py:41-42). With stacking, BatchNorm statistics pool both
+    strands (documented divergence, same spirit as models/strand.py)."""
 
     nfeat: int = 128
     nhid: int = 128

@@ -72,7 +72,11 @@ class MaskedBatchNorm(nn.Module):
                 mean = jnp.mean(x32, axis=reduce_axes)
                 var = jnp.mean(jnp.square(x32 - mean), axis=reduce_axes)
             else:
-                m = mask.astype(jnp.float32)[..., None]
+                # broadcast the mask across any extra leading axes (e.g. a
+                # strand axis in (N, S, C) inputs), then add the channel axis
+                m = mask.astype(jnp.float32)
+                m = m.reshape(m.shape + (1,) * (x.ndim - 1 - m.ndim))
+                m = jnp.broadcast_to(m, x.shape[:-1])[..., None]
                 n = jnp.maximum(jnp.sum(m), 1.0)
                 mean = jnp.sum(x32 * m, axis=reduce_axes) / n
                 var = jnp.sum(jnp.square(x32 - mean) * m, axis=reduce_axes) / n

@@ -186,7 +186,7 @@ def bsr_from_graph(
 # ~2us/step on v5e — 384 single-tile steps cost 0.87ms vs a 0.12ms DMA floor)
 TILES_PER_STEP = 8
 # VMEM budget for the fully-resident x/out variant (v5e exposes ~128MB)
-_VMEM_RESIDENT_BYTES = 96 * 1024 * 1024
+_VMEM_RESIDENT_BYTES = 112 * 1024 * 1024
 
 
 def _bsr_matmul(m: BSRMatrix, x: jax.Array) -> jax.Array:

@@ -82,7 +82,13 @@ def chrome_train_step(
     targets: jax.Array,
     rng: jax.Array,
 ) -> Tuple[ChromeTrainState, jax.Array, jax.Array]:
-    """One chromosome, one optimizer step; returns (state, loss, probs)."""
+    """One chromosome, one optimizer step; returns (state, loss, probs).
+
+    Strands run as two sequential weight-sharing passes with logits averaged
+    (reference: finetune.py:41-45; BatchNorm statistics update per pass as
+    in torch). A strand-stacked (N, 2, d) single-pass variant exists in the
+    model (models/chrome.py) — measured neutral-to-slower on the Pallas
+    kernel at d=128, so the steps keep the parity-exact sequential form."""
     rng_f, rng_r = jax.random.split(rng)
 
     def loss_fn(params):

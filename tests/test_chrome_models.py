@@ -155,3 +155,21 @@ def test_chrome_rnn_shapes():
     x_in, logits, _ = model.apply(variables, x, graph, train=False)
     assert logits.shape == (n, 6)
     np.testing.assert_array_equal(np.asarray(x_in), np.asarray(x))
+
+
+def test_chromegcn_strand_stacked_matches_per_strand():
+    """(N, 2, d) stacked forward == two (N, d) forwards (eval mode)."""
+    n, d = 32, 8
+    graph, _ = _random_graph(n, seed=11)
+    rng = np.random.default_rng(12)
+    x_f = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    x_r = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    model = ChromeGCN(nfeat=d, nhid=d, nclass=5, dropout=0.0, layers=2)
+    variables = model.init(jax.random.PRNGKey(0), x_f, graph, train=False)
+    _, p_f, _ = model.apply(variables, x_f, graph, train=False)
+    _, p_r, _ = model.apply(variables, x_r, graph, train=False)
+    _, p_stacked, _ = model.apply(
+        variables, jnp.stack([x_f, x_r], axis=1), graph, train=False
+    )
+    np.testing.assert_allclose(np.asarray(p_stacked[:, 0]), np.asarray(p_f), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_stacked[:, 1]), np.asarray(p_r), rtol=1e-5, atol=1e-5)
