@@ -4,30 +4,36 @@ Why this shape: Mosaic (this jaxlib) has no cross-tile vector gather, and
 XLA's gather/scatter path runs at ~115 GB/s / 60 GB/s effective on this
 chip (measured) — an order of magnitude off HBM speed. Hi-C contact graphs
 are diagonal-dominant (short-range contacts dominate the top-k selection),
-so the adjacency is converted host-side into:
+so the adjacency is converted host-side into two dense block populations,
+both consumed by ONE kernel:
 
-- **dense MXU tiles**: (T x T) blocks holding every tile with enough edges
-  (diagonal tiles are force-included — self-loops guarantee occupancy).
-  SpMM over these is a block-sparse matmul: pure MXU, zero gather/scatter.
-  Tiles are streamed HBM->VMEM by the Pallas pipeline while the MXU works.
-- **COO remainder**: the few long-range edges that don't cluster, handled
-  by sorted gather+segment-sum (cheap at small E).
+- **tiles**: (tile_r x 128) dense blocks for every region with enough
+  edges. SpMM over these is a block-sparse matmul: pure MXU, zero
+  gather/scatter. The column block is fixed at the 128-lane width because
+  tile DMA on this chip is element-rate bound (~30 G elem/s measured,
+  dtype-independent) and for a diagonal-dominant graph the streamed
+  element count scales with the column width, not the row height.
+- **strips**: (8 x 128) mini-blocks for the stragglers. Every edge falls
+  in exactly one strip, so there is NO COO remainder: the XLA scatter-add
+  a remainder path would need rewrites the whole (N x d) output in HBM
+  (~0.6 ms at chr1 scale, measured) — strips instead accumulate into the
+  VMEM-resident output inside the same kernel for ~free.
 
-The kernel is a flat-tile-list block-sparse matmul using
-PrefetchScalarGridSpec: tile row/col ids are scalar-prefetched, the output
-block revisits consecutive same-row tiles (accumulating in VMEM), and a
-first-visit flag zeroes each output block (standard reduction pattern).
+The kernel is a flat-list block-sparse matmul using
+PrefetchScalarGridSpec: block row/col offsets are scalar-prefetched; grid
+steps [0, nt/K) stream K tiles each, steps [nt/K, nt/K + ns/K2) stream K2
+strips each; x and out stay fully VMEM-resident (v5e exposes ~128 MB;
+50k x 128 f32 = 25 MB each) and every block accumulates via aligned
+dynamic-slice `+=` — no gather, no scatter, no output-revisit ordering
+constraint.
 
 Backward: dX = A^T g — the transposed tiling is precomputed host-side and
-stored alongside; the custom VJP reuses the same kernel. Value gradients
-(adjacency saliency) go through ops.spmm.sddmm explicitly, as in the
-reference's analysis path (reference: scripts/visualize.py adj.grad).
+stored alongside; the custom VJP reuses the same kernel. Edge-value
+gradients (adjacency saliency) go through ops.spmm.sddmm explicitly, as in
+the reference's analysis path (reference: scripts/visualize.py adj.grad).
 """
 
 from __future__ import annotations
-
-import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,22 +42,24 @@ from flax import struct
 
 from chromegcn_tpu.ops.sparse import SparseGraph
 
-TILE = 256
+TILE = 128       # default tile row height (tuned: see DESIGN.md §1)
+TILE_C = 128     # tile/strip column width == TPU lane count
+STRIP_R = 8      # strip row height == f32 sublane count
 
 
 @struct.dataclass
 class BSRMatrix:
     """Flat-list block-sparse matrix (one direction: A or A^T)."""
 
-    tiles: jax.Array       # (nt, T, T) float32 dense tiles
-    tile_rb: jax.Array     # (nt,) int32 tile row-block index (sorted)
-    tile_cb: jax.Array     # (nt,) int32 tile col-block index
-    tile_first: jax.Array  # (nt,) int32 1 if first tile of its row block
-    rem_senders: jax.Array    # (E_rem,) int32 remainder COO (sorted by receiver)
-    rem_receivers: jax.Array  # (E_rem,) int32
-    rem_vals: jax.Array       # (E_rem,) float32 (0 for padding)
+    tiles: jax.Array      # (nt, tile_r, tile_c) dense tiles
+    tile_rb: jax.Array    # (nt,) int32 tile row-block index (sorted)
+    tile_cb: jax.Array    # (nt,) int32 tile col-block index
+    strips: jax.Array     # (ns, 8, tile_c) dense strips for straggler edges
+    strip_rb: jax.Array   # (ns,) int32 strip row-block index (units of 8 rows)
+    strip_cb: jax.Array   # (ns,) int32 strip col-block index (units of tile_c)
     n_nodes: int = struct.field(pytree_node=False)
-    tile_size: int = struct.field(pytree_node=False)
+    tile_r: int = struct.field(pytree_node=False)
+    tile_c: int = struct.field(pytree_node=False)
 
 
 @struct.dataclass
@@ -71,109 +79,113 @@ class BSROperator:
 # ---------------------------------------------------------------------------
 
 
+def _bucket(n: int, mult: int) -> int:
+    return int(np.ceil(max(n, 1) / mult) * mult)
+
+
 def _build_one_direction(
     senders: np.ndarray,
     receivers: np.ndarray,
     vals: np.ndarray,
     n_nodes: int,
-    tile: int,
+    tile_r: int,
+    tile_c: int,
     min_edges_per_tile: int,
     dtype=np.float32,
 ) -> BSRMatrix:
-    nb = n_nodes // tile
-    rb = receivers // tile
-    cb = senders // tile
-    key = rb.astype(np.int64) * nb + cb.astype(np.int64)
+    ncb = n_nodes // tile_c
 
+    rb = receivers // tile_r
+    cb = senders // tile_c
+    key = rb.astype(np.int64) * ncb + cb.astype(np.int64)
     uniq, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
-    uniq_rb = (uniq // nb).astype(np.int32)
-    uniq_cb = (uniq % nb).astype(np.int32)
-    is_dense_tile = (counts >= min_edges_per_tile) | (uniq_rb == uniq_cb)
+    is_dense = counts >= min_edges_per_tile
 
-    # force a diagonal tile for every row block so all output rows are written
-    have_diag = set(uniq[is_dense_tile][uniq_rb[is_dense_tile] == uniq_cb[is_dense_tile]].tolist())
-    extra_diag = [b * np.int64(nb) + b for b in range(nb) if (b * np.int64(nb) + b) not in have_diag]
-
-    dense_keys = np.concatenate([uniq[is_dense_tile], np.asarray(extra_diag, np.int64)])
-    dense_keys = np.unique(dense_keys)
-    order = np.argsort(dense_keys, kind="stable")  # sorted by (rb, cb)
-    dense_keys = dense_keys[order]
+    dense_keys = np.sort(uniq[is_dense])
     key_to_tile = {int(k): i for i, k in enumerate(dense_keys)}
     nt = len(dense_keys)
+    # bucket tile count so kernel shapes (and compiles) are shared across
+    # chromosomes: pad with zero tiles at (0, 0) — a pure += of zeros
+    nt_pad = _bucket(nt, 64)
 
-    # bucket the tile count so kernel shapes (and compiles) are shared
-    # across chromosomes: pad with zero tiles replaying the last row block
-    # (first=0 -> pure += of zeros, a no-op)
-    nt_pad = int(np.ceil(max(nt, 1) / 64) * 64)
-
-
-    tile_rb = np.full(nt_pad, 0, np.int32)
-    tile_cb = np.full(nt_pad, 0, np.int32)
-    tile_rb[:nt] = (dense_keys // nb).astype(np.int32)
-    tile_cb[:nt] = (dense_keys % nb).astype(np.int32)
-    tile_rb[nt:] = tile_rb[nt - 1] if nt > 0 else 0
-    tile_cb[nt:] = tile_cb[nt - 1] if nt > 0 else 0
-    tile_first = np.zeros(nt_pad, np.int32)
-    tile_first[0] = 1
-    tile_first[1:nt] = (tile_rb[1:nt] != tile_rb[: nt - 1]).astype(np.int32)
-
-    in_dense = is_dense_tile[inv]
-    # scatter dense-tile edges
-    tiles = np.zeros((nt_pad, tile, tile), np.float32)
+    tiles = np.zeros((nt_pad, tile_r, tile_c), np.float32)
+    tile_rb = np.zeros(nt_pad, np.int32)
+    tile_cb = np.zeros(nt_pad, np.int32)
+    tile_rb[:nt] = (dense_keys // ncb).astype(np.int32)
+    tile_cb[:nt] = (dense_keys % ncb).astype(np.int32)
+    in_dense = is_dense[inv]
     de = np.nonzero(in_dense)[0]
-    tidx = np.fromiter(
-        (key_to_tile[int(k)] for k in key[de]), count=len(de), dtype=np.int64
-    )
-    np.add.at(tiles, (tidx, receivers[de] % tile, senders[de] % tile), vals[de])
+    if len(de):
+        tidx = np.fromiter(
+            (key_to_tile[int(k)] for k in key[de]), count=len(de), dtype=np.int64
+        )
+        np.add.at(tiles, (tidx, receivers[de] % tile_r, senders[de] % tile_c), vals[de])
 
-    # remainder
-    re = np.nonzero(~in_dense)[0]
-    rs, rr, rv = senders[re], receivers[re], vals[re]
-    o = np.argsort(rr, kind="stable")
-    rs, rr, rv = rs[o], rr[o], rv[o]
-    e_pad = max(int(np.ceil(max(len(rs), 1) / 512) * 512), 512)
-    rem_s = np.zeros(e_pad, np.int32)
-    rem_r = np.zeros(e_pad, np.int32)
-    rem_v = np.zeros(e_pad, np.float32)
-    rem_s[: len(rs)] = rs
-    rem_r[: len(rs)] = rr
-    rem_v[: len(rs)] = rv
+    # stragglers -> (8 x tile_c) strips; every edge lands in exactly one
+    se = np.nonzero(~in_dense)[0]
+    ss, sr, sv = senders[se], receivers[se], vals[se]
+    ncb8 = ncb
+    skey = (sr // STRIP_R).astype(np.int64) * ncb8 + (ss // tile_c).astype(np.int64)
+    strip_keys = np.sort(np.unique(skey)) if len(skey) else np.zeros(0, np.int64)
+    ns = len(strip_keys)
+    ns_pad = _bucket(ns, 64)
+    strips = np.zeros((ns_pad, STRIP_R, tile_c), np.float32)
+    strip_rb = np.zeros(ns_pad, np.int32)
+    strip_cb = np.zeros(ns_pad, np.int32)
+    strip_rb[:ns] = (strip_keys // ncb8).astype(np.int32)
+    strip_cb[:ns] = (strip_keys % ncb8).astype(np.int32)
+    if len(se):
+        key_to_strip = {int(k): i for i, k in enumerate(strip_keys)}
+        sidx = np.fromiter(
+            (key_to_strip[int(k)] for k in skey), count=len(skey), dtype=np.int64
+        )
+        np.add.at(strips, (sidx, sr % STRIP_R, ss % tile_c), sv)
 
+    cast = (lambda a: a) if dtype == np.float32 else (lambda a: a.astype(dtype))
     return BSRMatrix(
-        tiles=jnp.asarray(tiles.astype(dtype) if dtype != np.float32 else tiles),
+        tiles=jnp.asarray(cast(tiles)),
         tile_rb=jnp.asarray(tile_rb),
         tile_cb=jnp.asarray(tile_cb),
-        tile_first=jnp.asarray(tile_first),
-        rem_senders=jnp.asarray(rem_s),
-        rem_receivers=jnp.asarray(rem_r),
-        rem_vals=jnp.asarray(rem_v),
+        strips=jnp.asarray(cast(strips)),
+        strip_rb=jnp.asarray(strip_rb),
+        strip_cb=jnp.asarray(strip_cb),
         n_nodes=n_nodes,
-        tile_size=tile,
+        tile_r=tile_r,
+        tile_c=tile_c,
     )
 
 
 def bsr_from_graph(
-    graph: SparseGraph, tile: int = TILE, min_edges_per_tile: int = 24,
+    graph: SparseGraph,
+    tile: int = TILE,
+    min_edges_per_tile: int = 8,
     dtype: str = "float32",
+    tile_c: int = TILE_C,
 ) -> BSROperator:
     """Convert a padded-COO SparseGraph into forward+transposed BSR forms.
 
+    tile: row height of the dense tiles (column width is fixed at
+    ``tile_c``, default the 128-lane width — see module docstring).
     dtype: 'float32' (exact, HIGHEST-precision matmuls — parity mode) or
-    'bfloat16' (fast mode: half the tile HBM traffic, single-pass MXU;
-    ~0.4% relative error on row-normalized adjacency values).
+    'bfloat16' (fast mode: half the tile HBM traffic; ~0.4% relative error
+    on row-normalized adjacency values).
     """
-    if graph.n_nodes % tile != 0:
+    if graph.n_nodes % tile != 0 or graph.n_nodes % tile_c != 0:
         raise ValueError(
-            f"n_nodes={graph.n_nodes} must be a multiple of tile={tile}; "
-            "pad the graph with n_pad a multiple of the tile size"
+            f"n_nodes={graph.n_nodes} must be a multiple of tile={tile} "
+            f"and tile_c={tile_c}; pad the graph accordingly"
         )
     np_dtype = {"float32": np.float32, "bfloat16": jnp.bfloat16}[dtype]
     n_edges = int(graph.n_edges)
     s = np.asarray(graph.senders)[:n_edges]
     r = np.asarray(graph.receivers)[:n_edges]
     v = np.asarray(graph.vals)[:n_edges]
-    fwd = _build_one_direction(s, r, v, graph.n_nodes, tile, min_edges_per_tile, np_dtype)
-    bwd = _build_one_direction(r, s, v, graph.n_nodes, tile, min_edges_per_tile, np_dtype)
+    fwd = _build_one_direction(
+        s, r, v, graph.n_nodes, tile, tile_c, min_edges_per_tile, np_dtype
+    )
+    bwd = _build_one_direction(
+        r, s, v, graph.n_nodes, tile, tile_c, min_edges_per_tile, np_dtype
+    )
     return BSROperator(fwd=fwd, bwd=bwd)
 
 
@@ -182,28 +194,33 @@ def bsr_from_graph(
 # ---------------------------------------------------------------------------
 
 
-# tiles processed per grid step: amortizes grid-step overhead (measured
-# ~2us/step on v5e — 384 single-tile steps cost 0.87ms vs a 0.12ms DMA floor)
+# blocks processed per grid step: amortizes grid-step overhead (measured
+# ~2us/step on this chip)
 TILES_PER_STEP = 8
+STRIPS_PER_STEP = 32
 # VMEM budget for the fully-resident x/out variant (v5e exposes ~128MB)
 _VMEM_RESIDENT_BYTES = 112 * 1024 * 1024
 
 
 def _bsr_matmul(m: BSRMatrix, x: jax.Array) -> jax.Array:
-    """Block-sparse dense matmul: out = Tiles(A) @ x (dense-tile part only).
+    """Block-sparse dense matmul: out = A @ x over tiles + strips.
 
-    x and out stay fully VMEM-resident (v5e VMEM is large); each grid step
-    streams TILES_PER_STEP dense tiles from HBM and accumulates K matmuls
-    via dynamic slices — no output-revisit constraint, no per-tile x DMA.
+    x and out stay fully VMEM-resident; grid steps stream tile blocks then
+    strip blocks from HBM, each accumulating into out via aligned
+    dynamic-slice `+=`.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    tile = m.tile_size
+    tr, tc = m.tile_r, m.tile_c
     nt = m.tiles.shape[0]
+    ns = m.strips.shape[0]
     d = x.shape[1]
     K = TILES_PER_STEP
-    assert nt % K == 0, "tile count is bucketed to a multiple of TILES_PER_STEP"
+    K2 = STRIPS_PER_STEP
+    assert nt % K == 0 and ns % K2 == 0, "block counts are bucketed"
+    st = nt // K  # tile steps
+    ss = ns // K2  # strip steps
 
     if (m.n_nodes * d * 4) * 2 > _VMEM_RESIDENT_BYTES:
         raise NotImplementedError(
@@ -212,81 +229,95 @@ def _bsr_matmul(m: BSRMatrix, x: jax.Array) -> jax.Array:
             "(parallel.graph) or lower d"
         )
 
-    def kernel(rb_ref, cb_ref, tiles_ref, x_ref, out_ref):
+    fast = m.tiles.dtype == jnp.bfloat16
+    precision = (
+        jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
+    )
+
+    def kernel(rbt_ref, cbt_ref, rbs_ref, cbs_ref, tiles_ref, strips_ref,
+               x_ref, out_ref):
         step = pl.program_id(0)
 
         @pl.when(step == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        fast = tiles_ref.dtype == jnp.bfloat16
-        for k in range(K):
-            t = step * K + k
-            rb = pl.multiple_of(rb_ref[t] * tile, tile)
-            cb = pl.multiple_of(cb_ref[t] * tile, tile)
-            xs = x_ref[pl.ds(cb, tile), :]
-            contrib = jnp.dot(
-                tiles_ref[k],
-                xs.astype(jnp.bfloat16) if fast else xs,
-                preferred_element_type=jnp.float32,
-                # parity mode: full f32 accuracy (bf16x3) matching the
-                # reference's cuSPARSE f32 SpMM; fast mode: single bf16 pass
-                precision=(
-                    jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
-                ),
-            )
-            out_ref[pl.ds(rb, tile), :] += contrib
+        @pl.when(step < st)
+        def _():
+            for k in range(K):
+                t = step * K + k
+                rb = pl.multiple_of(rbt_ref[t] * tr, tr)
+                cb = pl.multiple_of(cbt_ref[t] * tc, tc)
+                xs = x_ref[pl.ds(cb, tc), :]
+                out_ref[pl.ds(rb, tr), :] += jnp.dot(
+                    tiles_ref[k],
+                    xs.astype(jnp.bfloat16) if fast else xs,
+                    preferred_element_type=jnp.float32,
+                    # parity mode: full f32 accuracy (bf16x3) matching the
+                    # reference's cuSPARSE f32 SpMM; fast mode: one bf16 pass
+                    precision=precision,
+                )
+
+        @pl.when(step >= st)
+        def _():
+            for k in range(K2):
+                t = (step - st) * K2 + k
+                ro = pl.multiple_of(rbs_ref[t] * STRIP_R, STRIP_R)
+                co = pl.multiple_of(cbs_ref[t] * tc, tc)
+                xs = x_ref[pl.ds(co, tc), :]
+                out_ref[pl.ds(ro, STRIP_R), :] += jnp.dot(
+                    strips_ref[k],
+                    xs.astype(jnp.bfloat16) if fast else xs,
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nt // K,),
+        num_scalar_prefetch=4,
+        grid=(st + ss,),
         in_specs=[
-            pl.BlockSpec((K, tile, tile), lambda s, rb, cb: (s, 0, 0)),
-            pl.BlockSpec((m.n_nodes, d), lambda s, rb, cb: (0, 0)),
+            pl.BlockSpec(
+                (K, tr, tc), lambda s, *_: (jnp.minimum(s, st - 1), 0, 0)
+            ),
+            pl.BlockSpec(
+                (K2, STRIP_R, tc),
+                lambda s, *_: (jnp.clip(s - st, 0, ss - 1), 0, 0),
+            ),
+            pl.BlockSpec((m.n_nodes, d), lambda s, *_: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((m.n_nodes, d), lambda s, rb, cb: (0, 0)),
+        out_specs=pl.BlockSpec((m.n_nodes, d), lambda s, *_: (0, 0)),
     )
-    flops = 2 * nt * tile * tile * d
+    elem_bytes = 2 if fast else 4
+    flops = 2 * (nt * tr * tc + ns * STRIP_R * tc) * d
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m.n_nodes, d), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=m.tiles.size * 4 + x.size * 4 + m.n_nodes * d * 4,
+            bytes_accessed=(m.tiles.size + m.strips.size) * elem_bytes
+            + x.size * 4
+            + m.n_nodes * d * 4,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024
         ),
         interpret=jax.default_backend() == "cpu",
-    )(m.tile_rb, m.tile_cb, m.tiles, x)
-
-
-def _apply_one_direction(m: BSRMatrix, x: jax.Array) -> jax.Array:
-    dense_part = _bsr_matmul(m, x)
-    gathered = jnp.take(x, m.rem_senders, axis=0) * m.rem_vals[:, None].astype(x.dtype)
-    # scatter-add straight into the dense-tile result (avoids materializing a
-    # separate N x d zeros buffer + add — XLA scatter overhead is the
-    # remainder path's dominant cost)
-    return dense_part.at[m.rem_receivers].add(
-        gathered.astype(dense_part.dtype),
-        indices_are_sorted=True,
-        unique_indices=False,
-    )
+    )(m.tile_rb, m.tile_cb, m.strip_rb, m.strip_cb, m.tiles, m.strips, x)
 
 
 @jax.custom_vjp
 def _spmm_bsr(op: BSROperator, x: jax.Array) -> jax.Array:
-    return _apply_one_direction(op.fwd, x)
+    return _bsr_matmul(op.fwd, x)
 
 
 def _spmm_bsr_fwd(op, x):
-    return _apply_one_direction(op.fwd, x), op
+    return _bsr_matmul(op.fwd, x), op
 
 
 def _spmm_bsr_bwd(op, g):
-    dx = _apply_one_direction(op.bwd, g)
+    dx = _bsr_matmul(op.bwd, g)
     zero_op = jax.tree_util.tree_map(jnp.zeros_like, op)
     return zero_op, dx
 
@@ -295,7 +326,9 @@ _spmm_bsr.defvjp(_spmm_bsr_fwd, _spmm_bsr_bwd)
 
 
 def attach_bsr(
-    graph: SparseGraph, tile: int = TILE, min_edges_per_tile: int = 24,
+    graph: SparseGraph,
+    tile: int = TILE,
+    min_edges_per_tile: int = 8,
     dtype: str = "float32",
 ) -> SparseGraph:
     """Return the graph with a precomputed BSROperator attached (host-side)."""

@@ -127,3 +127,30 @@ def test_throughput_counter():
     rates = t.step(edges=1000)
     assert rates["edges"] > 0
     assert "edges/s" in t.summary()
+
+
+def test_analysis_plots(tmp_path):
+    from chromegcn_tpu.analysis import plots
+
+    rng = np.random.default_rng(0)
+    targets = (rng.random((60, 5)) < 0.3).astype(float)
+    preds = targets * 0.5 + rng.random((60, 5)) * 0.5
+    fig = plots.plot_auroc(targets, preds, "cnn", str(tmp_path / "roc.png"))
+    assert os.path.exists(tmp_path / "roc.png")
+    fig = plots.plot_aupr(targets, preds, "cnn", save_path=str(tmp_path / "pr.png"))
+    assert os.path.exists(tmp_path / "pr.png")
+
+    base = rng.random(5)
+    refined = base + rng.normal(0, 0.05, 5)
+    plots.plot_comparison(base, refined, save_path=str(tmp_path / "cmp.png"))
+    names = ["atf2tfbs", "e116-h3k4me3", "dnase", "foo", "bar"]
+    plots.plot_label_difference(
+        base, refined, names, degree_weights=rng.random(5),
+        save_path=str(tmp_path / "diff.png"),
+    )
+    plots.violin_plot(
+        {"cnn": rng.random(30), "gcn": rng.random(30)},
+        save_path=str(tmp_path / "violin.png"),
+    )
+    for f in ("cmp.png", "diff.png", "violin.png"):
+        assert os.path.exists(tmp_path / f)

@@ -31,8 +31,8 @@ def test_bsr_matches_xla(n):
 
 
 def test_bsr_all_edges_in_remainder():
-    """min_edges_per_tile high -> only forced diagonal tiles; off-diag edges
-    all flow through the sorted-COO remainder path."""
+    """min_edges_per_tile high -> no dense tiles at all; every edge flows
+    through the (8 x 128) strip population."""
     g, dense = _graph(512, density=0.01, seed=2)
     g = attach_bsr(g, tile=256, min_edges_per_tile=10**9)
     x = jnp.asarray(np.random.default_rng(3).normal(size=(512, 128)).astype(np.float32))
