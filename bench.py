@@ -90,10 +90,16 @@ def main():
         graph_bsr = attach_bsr(graph)
         dt_pallas, loss_pallas = bench_impl("pallas", graph_bsr, x_f, x_r, targets)
         results["pallas"] = dt_pallas
+        # bf16 fast mode (documented ~1e-2 relative error on normalized
+        # adjacency): reported in detail, never the headline parity metric
+        graph_bf16 = attach_bsr(graph, dtype="bfloat16")
+        dt_bf16, _ = bench_impl("pallas", graph_bf16, x_f, x_r, targets)
+        results["pallas_bf16"] = dt_bf16
     except ImportError:
         pass
 
-    best_impl = min(results, key=results.get)
+    parity = {k: v for k, v in results.items() if k != "pallas_bf16"}
+    best_impl = min(parity, key=parity.get)
     best_dt = results[best_impl]
     value = edges_per_step / best_dt
     vs_baseline = (edges_per_step / dt_xla) and (dt_xla / best_dt)

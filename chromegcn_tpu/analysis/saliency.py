@@ -81,6 +81,68 @@ def feature_saliency(
     return np.asarray(jax.grad(score)(x))
 
 
+def tf_knockout_matrix(
+    chrome_model,
+    variables,
+    x_f: jax.Array,
+    x_r: jax.Array,
+    graph: SparseGraph,
+    targets: np.ndarray,
+    label_indices,
+) -> np.ndarray:
+    """TF–TF interaction matrix via in-silico contact knockouts
+    (reference: scripts/visualize.py TF-TF section).
+
+    For each label pair (i, j): zero every Hi-C edge whose SOURCE window is
+    positive for both i and j (the reference masks those adjacency columns),
+    re-row-normalize, re-run the GCN on both strands, and record the
+    relative drop in label-i prediction over i-positive windows:
+    ``diff[i, j] = (mean_i - mean_ij) / mean_i``.
+
+    Returns an (L, L) matrix over ``label_indices`` order (0 where i == j
+    or label j has no positive windows, as in the reference).
+    """
+    label_indices = list(label_indices)
+    targets = np.asarray(targets)
+    plain = graph.replace(bsr=None)
+    model = chrome_model.clone(spmm_impl="xla")
+    binary = (np.asarray(plain.vals) > 0).astype(np.float32)
+    senders = np.asarray(plain.senders)
+
+    from chromegcn_tpu.ops.sparse import row_normalize
+
+    @jax.jit
+    def predict(vals):
+        g = row_normalize(plain.replace(vals=vals))
+        _, logit_f, _ = model.apply(variables, x_f, g, train=False)
+        _, logit_r, _ = model.apply(variables, x_r, g, train=False)
+        return jax.nn.sigmoid((logit_f + logit_r) / 2.0)
+
+    base_probs = np.asarray(predict(jnp.asarray(binary)))
+
+    n = len(label_indices)
+    out = np.zeros((n, n), np.float32)
+    for a, y_i in enumerate(label_indices):
+        i_pos = targets[:, y_i] > 0
+        if not i_pos.any():
+            continue
+        base_i = float(base_probs[i_pos, y_i].mean())
+        if base_i == 0.0:
+            continue
+        sender_i = i_pos[senders]
+        for b, y_j in enumerate(label_indices):
+            if y_i == y_j:
+                continue
+            j_pos = targets[:, y_j] > 0
+            if not j_pos.any():
+                continue
+            keep = ~(sender_i & j_pos[senders])
+            ko_probs = np.asarray(predict(jnp.asarray(binary * keep)))
+            ko_i = float(ko_probs[i_pos, y_i].mean())
+            out[a, b] = (base_i - ko_i) / base_i
+    return out
+
+
 def tsne_embeddings(embeddings: np.ndarray, **tsne_kwargs) -> np.ndarray:
     """2-D t-SNE of refined node embeddings (reference: scripts/visualize.py
     t-SNE section)."""

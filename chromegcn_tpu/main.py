@@ -83,6 +83,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-use_stage2_hparams", action="store_true")
     p.add_argument("-dp_devices", type=int, default=1)
     p.add_argument("-graph_devices", type=int, default=1)
+    p.add_argument("-tp_devices", type=int, default=1)
     return p
 
 

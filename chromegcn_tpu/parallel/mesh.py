@@ -18,11 +18,61 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize the multi-host JAX runtime (SURVEY §2.6: the reference has
+    no distributed backend at all — nn.DataParallel is single-process; here
+    collectives ride ICI within a slice and DCN across slices, compiled by
+    XLA once the distributed runtime is up).
+
+    No-op on a single host or when already initialized. On TPU pods the
+    arguments are auto-detected from the environment; pass them explicitly
+    for CPU/GPU multi-process runs.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        if coordinator_address is None and num_processes is None:
+            import os
+
+            if not (
+                os.environ.get("COORDINATOR_ADDRESS")
+                or os.environ.get("TPU_WORKER_HOSTNAMES")
+                or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+            ):
+                return  # single host; nothing to do
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        pass  # already initialized by the launcher
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
+
+
+def make_mesh_2d(
+    dp: int, graph: int, axes: Sequence[str] = ("data", "graph")
+) -> Mesh:
+    """dp x graph 2D mesh: batch-axis DP for the CNN stage on one axis,
+    node-sharding for the GCN stage on the other. Lay the graph axis on
+    the mesh minor dimension so halo all-to-alls ride ICI neighbors."""
+    devices = jax.devices()
+    if dp * graph > len(devices):
+        raise ValueError(
+            f"mesh {dp}x{graph} needs {dp * graph} devices, have {len(devices)}"
+        )
+    arr = np.asarray(devices[: dp * graph]).reshape(dp, graph)
+    return Mesh(arr, tuple(axes))
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:

@@ -152,8 +152,8 @@ def run_chrome_epoch(
 ) -> Tuple[ChromeTrainState, np.ndarray, np.ndarray, float]:
     """One epoch = one pass over all chromosomes of a split
     (reference: finetune.py:29-55). Returns dataset-order preds/targets."""
-    preds_parts, targ_parts = [], []
-    total_loss = 0.0
+    preds_parts, targ_parts, losses = [], [], []
+    valid_counts = []
     for chrom, cf in features.items():
         graph = graphs[chrom]
         n_pad = graph.n_nodes
@@ -167,13 +167,19 @@ def run_chrome_epoch(
             )
         else:
             loss, probs = chrome_eval_step(state, x_f, x_r, graph, targets)
-        n_valid = cf.forward.shape[0]
-        preds_parts.append(np.asarray(probs)[:n_valid])
-        targ_parts.append(cf.target[:n_valid])
-        total_loss += float(loss)
+        # keep device arrays; a single device_get after the loop lets the
+        # per-chromosome dispatches pipeline instead of syncing every step
+        preds_parts.append(probs)
+        targ_parts.append(cf.target[: cf.forward.shape[0]])
+        valid_counts.append(cf.forward.shape[0])
+        losses.append(loss)
+    preds_parts, losses = jax.device_get((preds_parts, losses))
+    preds = np.concatenate(
+        [p[:n] for p, n in zip(preds_parts, valid_counts)], axis=0
+    )
     return (
         state,
-        np.concatenate(preds_parts, axis=0),
+        preds,
         np.concatenate(targ_parts, axis=0),
-        total_loss,
+        float(np.sum(losses)),
     )

@@ -135,6 +135,24 @@ def run_window_epoch(
     )
 
     placed = shard_batch or (lambda x: x)
+    # defer device->host syncs: drain pending step outputs in windows so
+    # dispatches pipeline instead of blocking per batch (the per-batch
+    # float(loss) sync costs a full round-trip per step on remote backends)
+    DRAIN_EVERY = 32
+    pending = []
+
+    def drain():
+        nonlocal total_loss
+        if not pending:
+            return
+        got = jax.device_get([p[:2] for p in pending])
+        for (loss_np, probs_np), (_, _, b) in zip(got, pending):
+            total_loss += float(loss_np)
+            valid = b.row_mask
+            all_preds[b.indices[valid]] = probs_np[valid]
+            all_targs[b.indices[valid]] = b.targets[valid]
+        pending.clear()
+
     for batch in iterate_batches(dataset, batch_size, shuffle=shuffle, rng=np_rng):
         tokens = placed(jnp.asarray(batch.tokens))
         targets = placed(jnp.asarray(batch.targets))
@@ -156,10 +174,10 @@ def run_window_epoch(
                 valid = batch.row_mask
                 feats_f[batch.indices[valid]] = xf[valid]
                 feats_r[batch.indices[valid]] = np.asarray(x_r)[valid]
-        total_loss += float(loss)
-        valid = batch.row_mask
-        all_preds[batch.indices[valid]] = np.asarray(probs)[valid]
-        all_targs[batch.indices[valid]] = batch.targets[valid]
+        pending.append((loss, probs, batch))
+        if len(pending) >= DRAIN_EVERY:
+            drain()
+    drain()
 
     features = None
     if collect_features:

@@ -77,7 +77,31 @@ def run_pretrain(cfg: Config, splits: Dict[str, WindowDataset], verbose=print):
     comp_map = jnp.asarray(complement_permutation(train_ds.src_vocab))
 
     shard = None
-    if cfg.dp_devices > 1:
+    if cfg.dp_devices > 1 and cfg.tp_devices > 1:
+        # 2D DP x TP mesh: batches over 'data', the big feature kernel
+        # (101,760 x d_model at seq 2000) over 'model' (SURVEY §2.6 TP slot)
+        from chromegcn_tpu.parallel.mesh import make_mesh_2d
+        from chromegcn_tpu.parallel.tp import place_window_state, tp_batch_sharding
+
+        if cfg.batch_size % cfg.dp_devices != 0:
+            raise ValueError(
+                f"batch_size={cfg.batch_size} must divide dp_devices={cfg.dp_devices}"
+            )
+        mesh = make_mesh_2d(cfg.dp_devices, cfg.tp_devices)
+        state = place_window_state(state, mesh)
+        sharding = tp_batch_sharding(mesh)
+        shard = lambda x: jax.device_put(x, sharding)
+        verbose(
+            f"2D mesh pretrain: dp={cfg.dp_devices} x tp={cfg.tp_devices}"
+        )
+    elif cfg.tp_devices > 1:
+        from chromegcn_tpu.parallel.mesh import make_mesh
+        from chromegcn_tpu.parallel.tp import place_window_state
+
+        mesh = make_mesh(cfg.tp_devices, axis="model")
+        state = place_window_state(state, mesh)
+        verbose(f"tensor-parallel pretrain over {cfg.tp_devices} devices")
+    elif cfg.dp_devices > 1:
         # batch-axis data parallelism over a named mesh: XLA shards the
         # conv stack over devices and psums gradients over ICI (the
         # TPU-native replacement for nn.DataParallel — reference: main.py:92-94)

@@ -154,3 +154,37 @@ def test_analysis_plots(tmp_path):
     )
     for f in ("cmp.png", "diff.png", "violin.png"):
         assert os.path.exists(tmp_path / f)
+
+
+def test_tf_knockout_matrix():
+    from chromegcn_tpu.analysis.saliency import tf_knockout_matrix
+    from chromegcn_tpu.data.synthetic import make_hic_edges
+
+    n, d, L = 64, 8, 4
+    rng = np.random.default_rng(0)
+    s, r, v = make_hic_edges(n, 120, seed=0)
+    g = build_chrom_graph("hic", n_valid=n, n_pad=n, hic_edges=(s, r, v))
+    model = ChromeGCN(nfeat=d, nhid=d, nclass=L, dropout=0.0, layers=2, spmm_impl="xla")
+    x_f = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    x_r = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x_f, g, train=False)
+    targets = (rng.random((n, L)) < 0.4).astype(np.float32)
+
+    mat = tf_knockout_matrix(model, variables, x_f, x_r, g, targets, range(L))
+    assert mat.shape == (L, L)
+    assert np.all(np.diag(mat) == 0.0)  # i == j skipped, as in the reference
+    assert np.all(np.isfinite(mat))
+    # knocking out contacts must change at least one pair's prediction
+    assert np.any(mat != 0.0)
+
+
+def test_mesh_helpers():
+    from chromegcn_tpu.parallel.mesh import init_distributed, make_mesh_2d
+
+    init_distributed()  # single host: must be a no-op
+    mesh = make_mesh_2d(2, 4)
+    assert mesh.shape == {"data": 2, "graph": 4}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        make_mesh_2d(4, 4)  # only 8 virtual devices in the test mesh

@@ -50,3 +50,59 @@ def test_partition_requires_divisible_nodes():
     graph, _ = _graph(48)
     with pytest.raises(ValueError):
         partition_graph(graph, 5)
+
+
+def test_tp_placement_matches_unsharded_step():
+    """TP is a placement policy: a dp x tp 2D-mesh train step must produce
+    the same loss and parameter update as the unsharded step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chromegcn_tpu.data.constants import SRC_VOCAB
+    from chromegcn_tpu.models.window import Expecto
+    from chromegcn_tpu.ops.seq import complement_permutation
+    from chromegcn_tpu.parallel.mesh import make_mesh_2d
+    from chromegcn_tpu.parallel.tp import place_window_state, tp_batch_sharding
+    from chromegcn_tpu.train.optim import make_optimizer
+    from chromegcn_tpu.train.pretrain import create_window_state, window_train_step
+
+    rng = jax.random.PRNGKey(0)
+    nprng = np.random.default_rng(0)
+    seq_len, n_targets, batch = 500, 6, 8
+    model = Expecto(n_targets=n_targets, seq_length=seq_len, d_model=16)
+    tx = make_optimizer("sgd", 0.25)
+    state = create_window_state(model, tx, rng, seq_len, SRC_VOCAB, batch_size=2)
+    comp_map = jnp.asarray(complement_permutation(SRC_VOCAB))
+    tokens = nprng.integers(0, 4, size=(batch, seq_len)).astype(np.int32)
+    targets = (nprng.random((batch, n_targets)) < 0.3).astype(np.float32)
+    mask = np.ones(batch, bool)
+
+    ref_state, ref_loss, ref_probs = window_train_step(
+        state, jnp.asarray(tokens), jnp.asarray(targets), jnp.asarray(mask),
+        comp_map, rng,
+    )
+
+    mesh = make_mesh_2d(4, 2, axes=("data", "model"))
+    state = create_window_state(model, tx, rng, seq_len, SRC_VOCAB, batch_size=2)
+    state_tp = place_window_state(state, mesh, min_elements=1024)
+    # the feature kernel must actually be sharded over 'model'
+    k = state_tp.params["model"]["linear"]["kernel"]
+    assert "model" in str(k.sharding.spec), k.sharding
+    bs = tp_batch_sharding(mesh)
+    tp_state, tp_loss, tp_probs = window_train_step(
+        state_tp,
+        jax.device_put(tokens, bs),
+        jax.device_put(targets, bs),
+        jax.device_put(mask, bs),
+        comp_map, rng,
+    )
+    np.testing.assert_allclose(float(tp_loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(tp_probs), np.asarray(ref_probs), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(tp_state.params["model"]["linear"]["kernel"]),
+        np.asarray(ref_state.params["model"]["linear"]["kernel"]),
+        rtol=1e-4, atol=1e-6,
+    )
