@@ -30,9 +30,18 @@ def main():
     p.add_argument("--pairs", type=int, default=250000)
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--strategy", default="halo", choices=["halo", "all_gather"])
+    p.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (env JAX_PLATFORMS is overridden by this "
+        "machine's site plugin; combine with "
+        "XLA_FLAGS=--xla_force_host_platform_device_count=8 for a virtual mesh)",
+    )
     args = p.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from chromegcn_tpu.data.synthetic import make_hic_edges

@@ -106,7 +106,7 @@ def _build_one_direction(
     nt = len(dense_keys)
     # bucket tile count so kernel shapes (and compiles) are shared across
     # chromosomes: pad with zero tiles at (0, 0) — a pure += of zeros
-    nt_pad = _bucket(nt, 64)
+    nt_pad = _bucket(nt, 128)
 
     tiles = np.zeros((nt_pad, tile_r, tile_c), np.float32)
     tile_rb = np.zeros(nt_pad, np.int32)
@@ -128,7 +128,7 @@ def _build_one_direction(
     skey = (sr // STRIP_R).astype(np.int64) * ncb8 + (ss // tile_c).astype(np.int64)
     strip_keys = np.sort(np.unique(skey)) if len(skey) else np.zeros(0, np.int64)
     ns = len(strip_keys)
-    ns_pad = _bucket(ns, 64)
+    ns_pad = _bucket(ns, 128)
     strips = np.zeros((ns_pad, STRIP_R, tile_c), np.float32)
     strip_rb = np.zeros(ns_pad, np.int32)
     strip_cb = np.zeros(ns_pad, np.int32)

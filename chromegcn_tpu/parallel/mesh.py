@@ -56,6 +56,13 @@ def init_distributed(
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"mesh axis {axis!r} needs {n_devices} devices, have "
+                f"{len(devices)} (on this backend set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count=N and "
+                f"force CPU via jax.config.update('jax_platforms','cpu'))"
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
 

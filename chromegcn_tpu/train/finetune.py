@@ -37,7 +37,7 @@ def create_chrome_state(
 
     dummy_x = jnp.zeros((n_nodes, nfeat), jnp.float32)
     dummy_g = build_chrom_graph("none", n_valid=n_nodes, n_pad=n_nodes)
-    if n_nodes % 256 == 0:
+    if n_nodes % 128 == 0:
         dummy_g = attach_bsr(dummy_g)  # so init works for any spmm_impl
     variables = chrome_model.init(rng, dummy_x, dummy_g, train=False)
     return ChromeTrainState.create(
