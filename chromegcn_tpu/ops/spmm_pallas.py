@@ -45,6 +45,9 @@ from chromegcn_tpu.ops.sparse import SparseGraph
 TILE = 128       # default tile row height (tuned: see DESIGN.md §1)
 TILE_C = 128     # tile/strip column width == TPU lane count
 STRIP_R = 8      # strip row height == f32 sublane count
+# 'auto' split break-even: densify a 128x128 region when it holds >= this
+# many occupied strips (measured tile/strip cost ratio ~5.7, DESIGN.md §1)
+AUTO_BREAKEVEN_STRIPS = 6
 
 
 @struct.dataclass
@@ -90,7 +93,7 @@ def _build_one_direction(
     n_nodes: int,
     tile_r: int,
     tile_c: int,
-    min_edges_per_tile: int,
+    min_edges_per_tile,
     dtype=np.float32,
 ) -> BSRMatrix:
     ncb = n_nodes // tile_c
@@ -99,14 +102,37 @@ def _build_one_direction(
     cb = senders // tile_c
     key = rb.astype(np.int64) * ncb + cb.astype(np.int64)
     uniq, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
-    is_dense = counts >= min_edges_per_tile
+    if min_edges_per_tile == "auto":
+        # Cost-optimal split: a tile region is densified when covering its
+        # edges with (8 x tile_c) strips would cost more than one tile.
+        # k = occupied strip slots in the region. Measured on this chip
+        # (fori-loop ablation, chr1 scale): one 128x128 tile ~810 ns
+        # (~20 G elem/s), one strip ~141 ns (per-block overhead bound,
+        # ~7 G elem/s) -> break-even k ~= 5.7. NOTE the element-optimal
+        # rule (k >= tile_r/8 = 16) is a measured LOSS (11.5 G elem/s
+        # aggregate): strips are 3x less element-efficient than tiles.
+        strip_key = (receivers // STRIP_R).astype(np.int64) * ncb + cb
+        uniq_strips = np.unique(strip_key)
+        tile_of_strip = (
+            (uniq_strips // ncb) // (tile_r // STRIP_R)
+        ) * ncb + uniq_strips % ncb
+        tkeys, k_strips = np.unique(tile_of_strip, return_counts=True)
+        # every edge-bearing tile region appears in both uniq and tkeys
+        k = k_strips[np.searchsorted(tkeys, uniq)]
+        # scale break-even with tile area relative to the measured 128x128
+        is_dense = k >= AUTO_BREAKEVEN_STRIPS * (tile_r * tile_c) // (128 * 128)
+    else:
+        is_dense = counts >= min_edges_per_tile
 
     dense_keys = np.sort(uniq[is_dense])
     key_to_tile = {int(k): i for i, k in enumerate(dense_keys)}
     nt = len(dense_keys)
     # bucket tile count so kernel shapes (and compiles) are shared across
-    # chromosomes: pad with zero tiles at (0, 0) — a pure += of zeros
-    nt_pad = _bucket(nt, 128)
+    # chromosomes: pad with zero tiles at (0, 0) — a pure += of zeros.
+    # The no-tiles case (common under the 'auto' split on graphs with no
+    # dense near-diagonal region) pads to one grid step, not a full
+    # bucket: 128 zero tiles would stream 2.1M dead elements.
+    nt_pad = TILES_PER_STEP if nt == 0 else _bucket(nt, 128)
 
     tiles = np.zeros((nt_pad, tile_r, tile_c), np.float32)
     tile_rb = np.zeros(nt_pad, np.int32)
@@ -158,7 +184,7 @@ def _build_one_direction(
 def bsr_from_graph(
     graph: SparseGraph,
     tile: int = TILE,
-    min_edges_per_tile: int = 8,
+    min_edges_per_tile="auto",
     dtype: str = "float32",
     tile_c: int = TILE_C,
 ) -> BSROperator:
@@ -166,6 +192,10 @@ def bsr_from_graph(
 
     tile: row height of the dense tiles (column width is fixed at
     ``tile_c``, default the 128-lane width — see module docstring).
+    min_edges_per_tile: 'auto' (default) picks the element-optimal
+    tile/strip split per region (densify iff occupied strips >= tile_r/8
+    — the kernel is element-rate bound, DESIGN.md §1); an int reproduces
+    the fixed edge-count threshold.
     dtype: 'float32' (exact, HIGHEST-precision matmuls — parity mode) or
     'bfloat16' (fast mode: half the tile HBM traffic; ~0.4% relative error
     on row-normalized adjacency values).
@@ -328,7 +358,7 @@ _spmm_bsr.defvjp(_spmm_bsr_fwd, _spmm_bsr_bwd)
 def attach_bsr(
     graph: SparseGraph,
     tile: int = TILE,
-    min_edges_per_tile: int = 8,
+    min_edges_per_tile="auto",
     dtype: str = "float32",
 ) -> SparseGraph:
     """Return the graph with a precomputed BSROperator attached (host-side)."""

@@ -97,3 +97,46 @@ def test_bsr_bf16_fast_mode_close_to_f32():
     ref = dense @ np.asarray(x)
     # bf16 tiles + bf16 x: ~0.4% relative tolerance
     np.testing.assert_allclose(out16, ref, rtol=2e-2, atol=5e-2)
+
+
+def test_bsr_auto_split_rule():
+    """'auto' (the default) picks the cost-optimal tile/strip split:
+    parity must hold and the split must follow the measured break-even
+    (densify iff occupied 8-row strips >= AUTO_BREAKEVEN_STRIPS)."""
+    from chromegcn_tpu.ops import spmm_pallas as sp
+
+    # a graph with one genuinely dense 128x128 region and scattered rest
+    n = 512
+    rng = np.random.default_rng(20)
+    dense = np.zeros((n, n), np.float32)
+    dense[:128, :128] = (rng.random((128, 128)) < 0.5) * rng.random((128, 128))
+    scat = (rng.random((n, n)) < 0.002) * rng.random((n, n))
+    dense[128:, :] = scat[128:, :]
+    np.fill_diagonal(dense, 1.0)
+    g = cgs.from_dense(dense)
+
+    op = bsr_from_graph(g, tile=128)  # default min_edges_per_tile='auto'
+    # the dense corner occupies all 16 strip slots -> must be a tile
+    assert int((np.asarray(op.fwd.tiles) != 0).any(axis=(1, 2)).sum()) >= 1
+    x = jnp.asarray(rng.normal(size=(n, 128)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(spmm(g.replace(bsr=op), x, impl="pallas")),
+        dense @ np.asarray(x),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+
+    # a single 8-row band occupies 1 strip slot per region < break-even
+    # -> strips only (note: a diagonal occupies all 16 slots -> tile)
+    band = np.zeros((256, 256), np.float32)
+    band[:8, :] = 1.0
+    g_band = cgs.from_dense(band)
+    op_band = bsr_from_graph(g_band, tile=128)
+    assert not (np.asarray(op_band.fwd.tiles) != 0).any()
+    x2 = jnp.asarray(rng.normal(size=(256, 128)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(spmm(g_band.replace(bsr=op_band), x2, impl="pallas")),
+        band @ np.asarray(x2),
+        rtol=1e-4,
+        atol=1e-4,
+    )
