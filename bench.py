@@ -105,7 +105,7 @@ def main():
     best_impl = min(parity, key=parity.get)
     best_dt = results[best_impl]
     value = edges_per_step / best_dt
-    vs_baseline = (edges_per_step / dt_xla) and (dt_xla / best_dt)
+    vs_baseline = dt_xla / best_dt  # speedup of the optimized path over XLA
 
     print(
         json.dumps(

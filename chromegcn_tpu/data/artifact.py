@@ -27,8 +27,9 @@ def save_dataset(path: str, splits: Dict[str, WindowDataset]) -> None:
         arrays[f"{split}/tokens"] = ds.tokens.astype(np.int8)
         arrays[f"{split}/targets"] = ds.targets.astype(np.uint8)
         arrays[f"{split}/starts"] = ds.starts.astype(np.int64)
-        chroms = np.asarray(ds.chroms, dtype="U8")
-        arrays[f"{split}/chroms"] = chroms
+        # let numpy size the unicode dtype — a fixed "U8" silently truncates
+        # contig names longer than 8 chars (e.g. chr11_gl000202_random)
+        arrays[f"{split}/chroms"] = np.asarray([str(c) for c in ds.chroms])
         meta["src_vocab"] = ds.src_vocab
         meta["tgt_vocab"] = ds.tgt_vocab
     arrays["meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)

@@ -35,6 +35,8 @@ the reference's analysis path (reference: scripts/visualize.py adj.grad).
 
 from __future__ import annotations
 
+from typing import Optional, Tuple, Union
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -52,7 +54,12 @@ AUTO_BREAKEVEN_STRIPS = 6
 
 @struct.dataclass
 class BSRMatrix:
-    """Flat-list block-sparse matrix (one direction: A or A^T)."""
+    """Flat-list block-sparse matrix (one direction: A or A^T).
+
+    Rectangular in general: (n_rows x n_cols). Square for a whole-chromosome
+    adjacency; rectangular for per-shard operators (local rows x halo
+    columns — parallel/graph.py) and row/col panels of oversized graphs.
+    """
 
     tiles: jax.Array      # (nt, tile_r, tile_c) dense tiles
     tile_rb: jax.Array    # (nt,) int32 tile row-block index (sorted)
@@ -60,9 +67,14 @@ class BSRMatrix:
     strips: jax.Array     # (ns, 8, tile_c) dense strips for straggler edges
     strip_rb: jax.Array   # (ns,) int32 strip row-block index (units of 8 rows)
     strip_cb: jax.Array   # (ns,) int32 strip col-block index (units of tile_c)
-    n_nodes: int = struct.field(pytree_node=False)
+    n_rows: int = struct.field(pytree_node=False)
+    n_cols: int = struct.field(pytree_node=False)
     tile_r: int = struct.field(pytree_node=False)
     tile_c: int = struct.field(pytree_node=False)
+
+    @property
+    def n_nodes(self) -> int:
+        return self.n_rows
 
 
 @struct.dataclass
@@ -74,7 +86,7 @@ class BSROperator:
 
     @property
     def n_nodes(self) -> int:
-        return self.fwd.n_nodes
+        return self.fwd.n_rows
 
 
 # ---------------------------------------------------------------------------
@@ -90,13 +102,17 @@ def _build_one_direction(
     senders: np.ndarray,
     receivers: np.ndarray,
     vals: np.ndarray,
-    n_nodes: int,
+    n_rows: int,
     tile_r: int,
     tile_c: int,
-    min_edges_per_tile,
+    min_edges_per_tile: Union[int, str],
     dtype=np.float32,
+    n_cols: Optional[int] = None,
 ) -> BSRMatrix:
-    ncb = n_nodes // tile_c
+    """senders index columns [0, n_cols); receivers index rows [0, n_rows)."""
+    if n_cols is None:
+        n_cols = n_rows
+    ncb = n_cols // tile_c
 
     rb = receivers // tile_r
     cb = senders // tile_c
@@ -119,8 +135,11 @@ def _build_one_direction(
         tkeys, k_strips = np.unique(tile_of_strip, return_counts=True)
         # every edge-bearing tile region appears in both uniq and tkeys
         k = k_strips[np.searchsorted(tkeys, uniq)]
-        # scale break-even with tile area relative to the measured 128x128
-        is_dense = k >= AUTO_BREAKEVEN_STRIPS * (tile_r * tile_c) // (128 * 128)
+        # scale break-even with tile area relative to the measured 128x128;
+        # clamp to >=1 so small tiles don't densify every edge-bearing region
+        is_dense = k >= max(
+            1, AUTO_BREAKEVEN_STRIPS * (tile_r * tile_c) // (128 * 128)
+        )
     else:
         is_dense = counts >= min_edges_per_tile
 
@@ -175,7 +194,8 @@ def _build_one_direction(
         strips=jnp.asarray(cast(strips)),
         strip_rb=jnp.asarray(strip_rb),
         strip_cb=jnp.asarray(strip_cb),
-        n_nodes=n_nodes,
+        n_rows=n_rows,
+        n_cols=n_cols,
         tile_r=tile_r,
         tile_c=tile_c,
     )
@@ -184,7 +204,7 @@ def _build_one_direction(
 def bsr_from_graph(
     graph: SparseGraph,
     tile: int = TILE,
-    min_edges_per_tile="auto",
+    min_edges_per_tile: Union[int, str] = "auto",
     dtype: str = "float32",
     tile_c: int = TILE_C,
 ) -> BSROperator:
@@ -192,10 +212,11 @@ def bsr_from_graph(
 
     tile: row height of the dense tiles (column width is fixed at
     ``tile_c``, default the 128-lane width — see module docstring).
-    min_edges_per_tile: 'auto' (default) picks the element-optimal
-    tile/strip split per region (densify iff occupied strips >= tile_r/8
-    — the kernel is element-rate bound, DESIGN.md §1); an int reproduces
-    the fixed edge-count threshold.
+    min_edges_per_tile: 'auto' (default) picks the cost-optimal tile/strip
+    split per region: densify iff the region holds >= AUTO_BREAKEVEN_STRIPS
+    (=6) occupied strips, the measured tile:strip cost ratio ~5.7 on this
+    chip (the element-optimal rule k >= tile_r/8 is a measured loss —
+    DESIGN.md §1); an int reproduces the fixed edge-count threshold.
     dtype: 'float32' (exact, HIGHEST-precision matmuls — parity mode) or
     'bfloat16' (fast mode: half the tile HBM traffic; ~0.4% relative error
     on row-normalized adjacency values).
@@ -246,17 +267,19 @@ def _bsr_matmul(m: BSRMatrix, x: jax.Array) -> jax.Array:
     nt = m.tiles.shape[0]
     ns = m.strips.shape[0]
     d = x.shape[1]
+    assert x.shape[0] == m.n_cols, (x.shape, m.n_cols)
     K = TILES_PER_STEP
     K2 = STRIPS_PER_STEP
     assert nt % K == 0 and ns % K2 == 0, "block counts are bucketed"
     st = nt // K  # tile steps
     ss = ns // K2  # strip steps
 
-    if (m.n_nodes * d * 4) * 2 > _VMEM_RESIDENT_BYTES:
+    if (m.n_rows + m.n_cols) * d * 4 > _VMEM_RESIDENT_BYTES:
         raise NotImplementedError(
-            f"chromosome too large for VMEM-resident SpMM "
-            f"(N={m.n_nodes}, d={d}); shard the graph across devices "
-            "(parallel.graph) or lower d"
+            f"operand too large for VMEM-resident SpMM "
+            f"(rows={m.n_rows}, cols={m.n_cols}, d={d}); build with "
+            "bsr_from_graph (auto-panels oversized graphs) or shard the "
+            "graph across devices (parallel.graph)"
         )
 
     fast = m.tiles.dtype == jnp.bfloat16
@@ -313,16 +336,16 @@ def _bsr_matmul(m: BSRMatrix, x: jax.Array) -> jax.Array:
                 (K2, STRIP_R, tc),
                 lambda s, *_: (jnp.clip(s - st, 0, ss - 1), 0, 0),
             ),
-            pl.BlockSpec((m.n_nodes, d), lambda s, *_: (0, 0)),
+            pl.BlockSpec((m.n_cols, d), lambda s, *_: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((m.n_nodes, d), lambda s, *_: (0, 0)),
+        out_specs=pl.BlockSpec((m.n_rows, d), lambda s, *_: (0, 0)),
     )
     elem_bytes = 2 if fast else 4
     flops = 2 * (nt * tr * tc + ns * STRIP_R * tc) * d
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((m.n_nodes, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m.n_rows, d), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=(m.tiles.size + m.strips.size) * elem_bytes
@@ -355,14 +378,178 @@ def _spmm_bsr_bwd(op, g):
 _spmm_bsr.defvjp(_spmm_bsr_fwd, _spmm_bsr_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Panelized variant for graphs too large for VMEM-resident x/out
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class BSRPanelOperator:
+    """Row/column-panelled block-sparse operator for oversized graphs.
+
+    The flat kernel keeps x and out fully VMEM-resident, which caps
+    N*d — chr1 at full 1kb-window scale (~250k windows, reference
+    data/1create_windows.py tiles every window) exceeds it. Here the node
+    range is cut into panels small enough that one (row-panel, col-panel)
+    sub-matmul is VMEM-resident, and the SpMM becomes a static grid of
+    panel kernels: out[pr] = sum_pc A[pr,pc] @ x[pc]. Empty panels are
+    skipped at build time (diagonal-dominant Hi-C graphs populate only the
+    near-diagonal panels, so the panel grid is itself sparse).
+
+    ``fwd``/``bwd`` are tuples of rectangular BSRMatrix sub-blocks;
+    ``fwd_coords``/``bwd_coords`` are the matching (row_panel, col_panel)
+    indices; ``bounds`` are the node-range cut points (static).
+    """
+
+    fwd: Tuple[BSRMatrix, ...]
+    bwd: Tuple[BSRMatrix, ...]
+    fwd_coords: Tuple[Tuple[int, int], ...] = struct.field(pytree_node=False)
+    bwd_coords: Tuple[Tuple[int, int], ...] = struct.field(pytree_node=False)
+    bounds: Tuple[int, ...] = struct.field(pytree_node=False)
+
+    @property
+    def n_nodes(self) -> int:
+        return self.bounds[-1]
+
+
+def panel_bounds(n_nodes: int, d_model: int, align: int = 128) -> Tuple[int, ...]:
+    """Node-range cut points so each (row-panel + col-panel) x/out pair of
+    one sub-matmul fits the VMEM-resident budget."""
+    max_panel = _VMEM_RESIDENT_BYTES // (2 * d_model * 4)
+    max_panel = max(align, (max_panel // align) * align)
+    k = int(np.ceil(n_nodes / max_panel))
+    panel = int(np.ceil(n_nodes / k / align) * align)
+    bounds = [0]
+    while bounds[-1] < n_nodes:
+        bounds.append(min(bounds[-1] + panel, n_nodes))
+    return tuple(bounds)
+
+
+def _build_panels(
+    s: np.ndarray,
+    r: np.ndarray,
+    v: np.ndarray,
+    bounds: Tuple[int, ...],
+    tile_r: int,
+    tile_c: int,
+    min_edges_per_tile: Union[int, str],
+    dtype,
+):
+    """One direction's panel grid: list of (pr, pc, BSRMatrix)."""
+    panels, coords = [], []
+    nb = len(bounds) - 1
+    pr_of = np.searchsorted(bounds, r, side="right") - 1
+    pc_of = np.searchsorted(bounds, s, side="right") - 1
+    for pr in range(nb):
+        for pc in range(nb):
+            sel = (pr_of == pr) & (pc_of == pc)
+            if not sel.any():
+                continue
+            m = _build_one_direction(
+                s[sel] - bounds[pc],
+                r[sel] - bounds[pr],
+                v[sel],
+                n_rows=bounds[pr + 1] - bounds[pr],
+                tile_r=tile_r,
+                tile_c=tile_c,
+                min_edges_per_tile=min_edges_per_tile,
+                dtype=dtype,
+                n_cols=bounds[pc + 1] - bounds[pc],
+            )
+            panels.append(m)
+            coords.append((pr, pc))
+    return tuple(panels), tuple(coords)
+
+
+def bsr_panels_from_graph(
+    graph: SparseGraph,
+    d_model: int = 128,
+    tile: int = TILE,
+    min_edges_per_tile: Union[int, str] = "auto",
+    dtype: str = "float32",
+    tile_c: int = TILE_C,
+    bounds: Optional[Tuple[int, ...]] = None,
+) -> BSRPanelOperator:
+    """Panelled BSR for graphs whose N*d exceeds the VMEM-resident budget."""
+    if graph.n_nodes % tile != 0 or graph.n_nodes % tile_c != 0:
+        raise ValueError(
+            f"n_nodes={graph.n_nodes} must be a multiple of tile={tile} "
+            f"and tile_c={tile_c}; pad the graph accordingly"
+        )
+    np_dtype = {"float32": np.float32, "bfloat16": jnp.bfloat16}[dtype]
+    if bounds is None:
+        bounds = panel_bounds(graph.n_nodes, d_model)
+    n_edges = int(graph.n_edges)
+    s = np.asarray(graph.senders)[:n_edges]
+    r = np.asarray(graph.receivers)[:n_edges]
+    v = np.asarray(graph.vals)[:n_edges]
+    fwd, fwd_coords = _build_panels(
+        s, r, v, bounds, tile, tile_c, min_edges_per_tile, np_dtype
+    )
+    bwd, bwd_coords = _build_panels(
+        r, s, v, bounds, tile, tile_c, min_edges_per_tile, np_dtype
+    )
+    return BSRPanelOperator(
+        fwd=fwd, bwd=bwd, fwd_coords=fwd_coords, bwd_coords=bwd_coords,
+        bounds=bounds,
+    )
+
+
+def _panel_matmul(
+    panels: Tuple[BSRMatrix, ...],
+    coords: Tuple[Tuple[int, int], ...],
+    bounds: Tuple[int, ...],
+    x: jax.Array,
+) -> jax.Array:
+    d = x.shape[1]
+    nb = len(bounds) - 1
+    acc: dict = {}
+    for (pr, pc), m in zip(coords, panels):
+        seg = _bsr_matmul(m, jax.lax.slice(x, (bounds[pc], 0), (bounds[pc + 1], d)))
+        acc[pr] = seg if pr not in acc else acc[pr] + seg
+    parts = [
+        acc.get(pr, jnp.zeros((bounds[pr + 1] - bounds[pr], d), jnp.float32))
+        for pr in range(nb)
+    ]
+    return jnp.concatenate(parts, axis=0) if nb > 1 else parts[0]
+
+
+@jax.custom_vjp
+def _spmm_bsr_panels(op: BSRPanelOperator, x: jax.Array) -> jax.Array:
+    return _panel_matmul(op.fwd, op.fwd_coords, op.bounds, x)
+
+
+def _spmm_bsr_panels_fwd(op, x):
+    return _panel_matmul(op.fwd, op.fwd_coords, op.bounds, x), op
+
+
+def _spmm_bsr_panels_bwd(op, g):
+    dx = _panel_matmul(op.bwd, op.bwd_coords, op.bounds, g)
+    zero_op = jax.tree_util.tree_map(jnp.zeros_like, op)
+    return zero_op, dx
+
+
+_spmm_bsr_panels.defvjp(_spmm_bsr_panels_fwd, _spmm_bsr_panels_bwd)
+
+
 def attach_bsr(
     graph: SparseGraph,
     tile: int = TILE,
-    min_edges_per_tile="auto",
+    min_edges_per_tile: Union[int, str] = "auto",
     dtype: str = "float32",
+    d_model: int = 128,
 ) -> SparseGraph:
-    """Return the graph with a precomputed BSROperator attached (host-side)."""
-    return graph.replace(bsr=bsr_from_graph(graph, tile, min_edges_per_tile, dtype))
+    """Return the graph with a precomputed block-sparse form attached
+    (host-side): the flat VMEM-resident BSROperator when x/out fit, else
+    the panelled BSRPanelOperator (d_model sizes that budget check)."""
+    if (2 * graph.n_nodes * d_model * 4) > _VMEM_RESIDENT_BYTES:
+        op = bsr_panels_from_graph(
+            graph, d_model=d_model, tile=tile,
+            min_edges_per_tile=min_edges_per_tile, dtype=dtype,
+        )
+    else:
+        op = bsr_from_graph(graph, tile, min_edges_per_tile, dtype)
+    return graph.replace(bsr=op)
 
 
 def spmm_pallas(graph, x: jax.Array) -> jax.Array:
@@ -374,6 +561,8 @@ def spmm_pallas(graph, x: jax.Array) -> jax.Array:
     """
     if isinstance(graph, BSROperator):
         return _spmm_bsr(graph, x)
+    if isinstance(graph, BSRPanelOperator):
+        return _spmm_bsr_panels(graph, x)
     if isinstance(graph, SparseGraph):
         if isinstance(graph.senders, jax.core.Tracer):
             raise TypeError(

@@ -7,7 +7,7 @@ graph: contiguous node ranges per device, edge lists partitioned by
 the owning devices (BASELINE north star: edge partitioning + boundary
 feature exchange over ICI).
 
-Two exchange strategies:
+Three exchange strategies:
 - ``all_gather``: every device gathers the full X (N x d). Simple; traffic
   per device = N x d per layer.
 - ``halo``: a true boundary exchange. At partition time each shard records
@@ -18,8 +18,16 @@ Two exchange strategies:
   for diagonal-dominant Hi-C graphs the halo is a thin boundary band, so
   H_max << N and the exchange rides ICI at a fraction of the all_gather
   cost.
+- ``halo_bsr``: the same halo exchange feeding a per-shard *Pallas BSR*
+  matmul (ops/spmm_pallas.py) instead of gather+segment-sum. At partition
+  time each shard's edges are re-keyed into (local row, halo column)
+  coordinates and converted to a rectangular block-sparse operator
+  (rows_per_shard x S*H). This composes the measured-fast kernel with the
+  exchange — every device computes at single-chip BSR speed (the plain
+  gather/segment-sum shard compute is the measured 5-6x-slower path,
+  DESIGN.md SS1/SS4).
 
-Both are exact: ``sharded_spmm(partition(g), x) == spmm(g, x)`` (tested in
+All are exact: ``sharded_spmm(partition(g), x) == spmm(g, x)`` (tested in
 tests/test_partition.py).
 """
 

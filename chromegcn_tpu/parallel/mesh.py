@@ -31,26 +31,52 @@ def init_distributed(
     No-op on a single host or when already initialized. On TPU pods the
     arguments are auto-detected from the environment; pass them explicitly
     for CPU/GPU multi-process runs.
-    """
-    if jax.process_count() > 1:
-        return  # already initialized
-    try:
-        if coordinator_address is None and num_processes is None:
-            import os
 
-            if not (
-                os.environ.get("COORDINATOR_ADDRESS")
-                or os.environ.get("TPU_WORKER_HOSTNAMES")
-                or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
-            ):
-                return  # single host; nothing to do
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
+    Ordering contract: ``jax.distributed.initialize`` MUST run before any
+    backend-initializing jax call (``jax.devices``, ``jax.process_count``,
+    any computation) — querying the backend first silently initializes the
+    *local* runtime and turns the distributed init into a failure on a real
+    pod. So this function decides purely from its arguments and environment
+    variables, and only then touches jax (tests/test_aux.py asserts the
+    call order).
+    """
+    import os
+    import warnings
+
+    explicit = any(
+        a is not None for a in (coordinator_address, num_processes, process_id)
+    )
+    # TPU_WORKER_HOSTNAMES with a single entry means a single-host slice
+    # (this image sets it to "localhost"), not a pod
+    workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    multi_host = len([w for w in workers.split(",") if w.strip()]) > 1
+    if not explicit and not (
+        os.environ.get("COORDINATOR_ADDRESS")
+        or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+        or multi_host
+    ):
+        return  # single host; never touch the backend
+    if jax.distributed.is_initialized():
+        return  # launcher already brought the runtime up
+    from jax._src import xla_bridge
+
+    if xla_bridge.backends_are_initialized():
+        # a backend query slipped in before us — initialize would raise.
+        # Explicit request: surface it loudly; auto-detection: warn (the
+        # env hint may be stale, as with single-host TPU_WORKER_HOSTNAMES).
+        msg = (
+            "init_distributed called after the XLA backend was initialized; "
+            "call it before any jax.devices()/computation"
         )
-    except RuntimeError:
-        pass  # already initialized by the launcher
+        if explicit:
+            raise RuntimeError(msg)
+        warnings.warn(msg + " — continuing single-process", RuntimeWarning)
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:

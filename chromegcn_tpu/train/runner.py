@@ -547,7 +547,9 @@ def run_joint(cfg: Config, splits: Optional[Dict[str, WindowDataset]] = None, ve
             t_preds, t_targs, test_loss, 0.0, cfg, label_names
         )
         tracker.evaluate(valid_metrics, test_metrics, epoch)
-        logger.log("train", epoch, train_loss, valid_metrics)
+        # joint training collects no train-split predictions (probs are not
+        # materialized in the train step), so the train line logs loss only
+        logger.log_loss("train", epoch, train_loss)
         logger.log("valid", epoch, valid_loss, valid_metrics)
         logger.log("test", epoch, test_loss, test_metrics)
         score = selection_score(valid_metrics)

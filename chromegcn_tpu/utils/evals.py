@@ -163,6 +163,12 @@ class EpochLogger:
                 f"{epoch},{loss},{m['mAP']},{m['meanAUC']},{m['meanAUPR']},{m['meanFDR']}\n"
             )
 
+    def log_loss(self, split: str, epoch: int, loss: float) -> None:
+        """Loss-only CSV line — for loops that don't materialize predictions
+        on the split (joint training's train step)."""
+        with open(os.path.join(self.run_dir, f"{split}.log"), "a") as f:
+            f.write(f"{epoch},{loss}\n")
+
     def maybe_snapshot(
         self, epoch: int, valid_loss: float, valid_score: float,
         valid_preds, valid_targs, test_preds, test_targs,

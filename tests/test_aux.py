@@ -188,3 +188,73 @@ def test_mesh_helpers():
 
     with _pytest.raises(ValueError):
         make_mesh_2d(4, 4)  # only 8 virtual devices in the test mesh
+
+
+def test_init_distributed_never_touches_backend_first(monkeypatch):
+    """jax.distributed.initialize must be callable before any backend query:
+    init_distributed may not call jax.process_count()/jax.devices() before
+    deciding (VERDICT r1: querying first silently initializes the local
+    backend and breaks pod init)."""
+    from chromegcn_tpu.parallel import mesh as pmesh
+
+    calls = []
+
+    def forbidden(*a, **k):
+        raise AssertionError("backend query before jax.distributed.initialize")
+
+    monkeypatch.setattr(jax, "process_count", forbidden)
+    monkeypatch.setattr(jax, "devices", forbidden)
+    monkeypatch.setattr(jax, "local_devices", forbidden, raising=False)
+    monkeypatch.setattr(
+        jax.distributed, "is_initialized", lambda: False, raising=False
+    )
+    monkeypatch.setattr(
+        jax.distributed,
+        "initialize",
+        lambda **kw: calls.append(kw),
+    )
+
+    from jax._src import xla_bridge
+
+    monkeypatch.setattr(xla_bridge, "backends_are_initialized", lambda: False)
+
+    # single host, no env hints: pure no-op, backend untouched
+    for var in ("COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+                "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(var, raising=False)
+    pmesh.init_distributed()
+    assert calls == []
+
+    # single-host worker list (this image sets "localhost"): still a no-op
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    pmesh.init_distributed()
+    assert calls == []
+
+    # pod-style env: initialize runs, still without backend queries
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+    pmesh.init_distributed()
+    assert len(calls) == 1
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
+    monkeypatch.setenv("COORDINATOR_ADDRESS", "10.0.0.1:8476")
+    pmesh.init_distributed()
+    assert len(calls) == 2
+
+    # already initialized by the launcher: no double-init
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: True)
+    pmesh.init_distributed()
+    assert len(calls) == 2
+
+    # explicit args trigger initialize even without env vars
+    monkeypatch.delenv("COORDINATOR_ADDRESS")
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False)
+    pmesh.init_distributed(
+        coordinator_address="10.0.0.1:8476", num_processes=2, process_id=0
+    )
+    assert len(calls) == 3 and calls[2]["num_processes"] == 2
+
+    # explicit args after the backend came up: loud failure, not silence
+    monkeypatch.setattr(xla_bridge, "backends_are_initialized", lambda: True)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        pmesh.init_distributed(coordinator_address="10.0.0.1:8476")

@@ -50,3 +50,43 @@ def test_joint_step_trains_both_stages():
     assert not np.allclose(w_before, w_after)
     assert not np.allclose(c_before, c_after)
     assert losses[-1] < losses[0]
+
+
+def test_run_joint_epoch_loop(tmp_path):
+    """run_joint's full epoch loop: logs all three splits, train line carries
+    loss only (no metrics — the train step materializes no probs), snapshots
+    a checkpoint, and the loss trajectory is finite."""
+    import os
+
+    from chromegcn_tpu.config import Config
+    from chromegcn_tpu.data import artifact
+    from chromegcn_tpu.data.synthetic import make_window_dataset
+    from chromegcn_tpu.train.runner import run
+
+    dataroot = str(tmp_path / "data")
+    os.makedirs(os.path.join(dataroot, "SYN", "1000"), exist_ok=True)
+    splits = {
+        "train": make_window_dataset({"chr2": 14}, n_targets=4, seq_length=400, seed=0),
+        "valid": make_window_dataset({"chr3": 12}, n_targets=4, seq_length=400, seed=1),
+        "test": make_window_dataset({"chr1": 12}, n_targets=4, seq_length=400, seed=2),
+    }
+    cfg = Config(
+        dataroot=dataroot, results_dir=str(tmp_path / "results"), cell_type="SYN",
+        epochs=2, batch_size=8, seq_length=400, d_model=8,
+        optim="adam", lr=1e-3, dropout=0.0, gcn_dropout=0.0,
+        adj_type="constant", joint=True, joint_chunk=8,
+    )
+    artifact.save_dataset(cfg.data_path, splits)
+    (wstate, cstate), tracker = run(cfg, splits, verbose=lambda *a: None)
+
+    run_dir = cfg.run_dir + ".joint"
+    train_log = open(os.path.join(run_dir, "train.log")).read().splitlines()
+    assert len(train_log) == 2
+    # train line: epoch,loss and no metric columns borrowed from valid
+    first = train_log[0].split(",")
+    assert int(first[0]) == 1 and np.isfinite(float(first[1]))
+    assert len(first) == 2, f"train log must not carry valid metrics: {first}"
+    valid_log = open(os.path.join(run_dir, "valid.log")).read().splitlines()
+    assert len(valid_log[0].split(",")) > 2  # valid line does carry metrics
+    assert os.path.isdir(os.path.join(run_dir, "ckpt"))
+    assert 0.0 < tracker.best_test["meanAUC"] <= 1.0

@@ -137,3 +137,36 @@ def test_upsample_5kb_to_1kb():
     assert set(b1.tolist()) == {5000, 6000, 7000, 8000, 9000}
     assert set(b2.tolist()) == {20000, 21000, 22000, 23000, 24000}
     assert all(x == 2.0 for x in v)
+
+
+def test_max_dist_cutoff(tmp_path):
+    """Distance-thresholded graph variant (reference: data/7create_graph_old.py
+    keeps only contacts within a genomic distance)."""
+    raw = tmp_path / "c.RAWobserved"
+    raw.write_text("0\t1000\t50.0\n0\t4000\t40.0\n1000\t4000\t30.0\n")
+    starts = np.array([0, 1000, 4000])
+    # no cutoff: all three pairs survive (symmetric -> 6 directed edges)
+    s, r, v = hic.chrom_topk_edges(str(raw), starts, n_pairs=5)
+    assert len(s) == 6
+    # 2kb cutoff keeps only the 0<->1000 contact
+    s, r, v = hic.chrom_topk_edges(str(raw), starts, n_pairs=5, max_dist_bp=2000)
+    assert sorted(zip(s.tolist(), r.tolist())) == [(0, 1), (1, 0)]
+
+
+def test_artifact_preserves_long_chrom_names(tmp_path):
+    """Contig names longer than 8 chars must round-trip unclipped (a fixed
+    "U8" dtype silently corrupted e.g. chr11_gl000202_random)."""
+    from chromegcn_tpu.data.loader import WindowDataset
+
+    name = "chr11_gl000202_random"
+    ds = WindowDataset(
+        tokens=np.zeros((3, 10), np.int32),
+        targets=np.zeros((3, 2), np.uint8),
+        chroms=np.asarray([name, name, "chr1"], dtype=object),
+        starts=np.arange(3, dtype=np.int64),
+        src_vocab={"a": 0}, tgt_vocab={"t": 0},
+    )
+    path = str(tmp_path / "ds.npz")
+    artifact.save_dataset(path, {"train": ds})
+    loaded = artifact.load_dataset(path)
+    assert loaded["train"].chroms[0] == name
