@@ -29,7 +29,15 @@ def main():
     p.add_argument("--nodes", type=int, default=50176)
     p.add_argument("--pairs", type=int, default=250000)
     p.add_argument("--iters", type=int, default=30)
-    p.add_argument("--strategy", default="halo", choices=["halo", "all_gather"])
+    p.add_argument(
+        "--strategy", default="halo_bsr",
+        choices=["halo_bsr", "halo", "all_gather"],
+        help="halo_bsr = halo exchange feeding the per-shard Pallas BSR "
+        "kernel (the -graph_devices trainer path). NOTE on the CPU virtual "
+        "mesh the Pallas kernel runs in interpret mode — use --strategy "
+        "halo_bsr there only with small --nodes, and read the numbers as "
+        "relative scaling structure, not absolute throughput.",
+    )
     p.add_argument(
         "--cpu", action="store_true",
         help="force the CPU backend (env JAX_PLATFORMS is overridden by this "
@@ -46,7 +54,11 @@ def main():
 
     from chromegcn_tpu.data.synthetic import make_hic_edges
     from chromegcn_tpu.ops.sparse import build_chrom_graph
-    from chromegcn_tpu.parallel.graph import partition_graph, sharded_spmm
+    from chromegcn_tpu.parallel.graph import (
+        attach_shard_bsr,
+        partition_graph,
+        sharded_spmm,
+    )
     from chromegcn_tpu.parallel.mesh import make_mesh
 
     n_avail = len(jax.devices())
@@ -65,6 +77,8 @@ def main():
     for nd in device_counts:
         mesh = make_mesh(nd, axis="graph")
         pg = partition_graph(graph, nd)
+        if args.strategy == "halo_bsr":
+            pg = attach_shard_bsr(pg)
         x = jnp.asarray(x_host)
 
         fn = jax.jit(
@@ -94,6 +108,14 @@ def main():
                         "ms_per_spmm": round(dt * 1e3, 3),
                         "scaling_efficiency": round(eps / (base * nd), 3),
                         "backend": jax.default_backend(),
+                        # per-device ICI halo volume — (S-1) remote blocks of
+                        # H rows each way (vs n*d*4 for all_gather); the
+                        # all_to_all self block never crosses ICI
+                        "halo_mb_per_device": round(
+                            (nd - 1) * pg.halo_width * x_host.shape[1] * 4 / 2**20, 3
+                        ),
+                        "interpret_mode": jax.default_backend() == "cpu"
+                        and args.strategy == "halo_bsr",
                     },
                 }
             )

@@ -96,6 +96,7 @@ class Config:
     dp_devices: int = 1            # data-parallel mesh size for CNN stage
     graph_devices: int = 1         # node-partition mesh size for GCN stage
     tp_devices: int = 1            # tensor-parallel shards for the CNN feature kernel
+    graph_strategy: str = "auto"   # auto | halo_bsr | halo | all_gather (parallel/graph.py)
 
     def __post_init__(self):
         if self.test_batch_size <= 0:

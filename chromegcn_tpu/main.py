@@ -84,6 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-dp_devices", type=int, default=1)
     p.add_argument("-graph_devices", type=int, default=1)
     p.add_argument("-tp_devices", type=int, default=1)
+    p.add_argument(
+        "-graph_strategy",
+        choices=["auto", "halo_bsr", "halo", "all_gather"],
+        default="auto",
+    )
     return p
 
 

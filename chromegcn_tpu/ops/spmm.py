@@ -76,7 +76,15 @@ def spmm(graph: SparseGraph, x: jax.Array, impl: str = "auto") -> jax.Array:
 
     impl: 'auto' (Pallas block-sparse kernel when the graph carries a
     precomputed BSR form, else XLA gather+segment-sum), 'xla', or 'pallas'.
+
+    A node-sharded parallel.graph.ShardedGraph routes to the shard_map
+    halo-exchange path regardless of impl (its strategy field already
+    encodes the per-shard compute: BSR kernel or gather+segment-sum).
     """
+    if type(graph).__name__ == "ShardedGraph":
+        from chromegcn_tpu.parallel.graph import sharded_graph_spmm
+
+        return sharded_graph_spmm(graph, x)
     if impl == "auto":
         impl = "pallas" if getattr(graph, "bsr", None) is not None else "xla"
     return _spmm_dispatch(graph, x, impl)

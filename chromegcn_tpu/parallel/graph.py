@@ -20,12 +20,12 @@ Three exchange strategies:
   cost.
 - ``halo_bsr``: the same halo exchange feeding a per-shard *Pallas BSR*
   matmul (ops/spmm_pallas.py) instead of gather+segment-sum. At partition
-  time each shard's edges are re-keyed into (local row, halo column)
-  coordinates and converted to a rectangular block-sparse operator
-  (rows_per_shard x S*H). This composes the measured-fast kernel with the
-  exchange — every device computes at single-chip BSR speed (the plain
-  gather/segment-sum shard compute is the measured 5-6x-slower path,
-  DESIGN.md SS1/SS4).
+  time each shard's edges are re-keyed into (local row, read-buffer column)
+  coordinates — buffer = [x_local ; halo] — and converted to a rectangular
+  block-sparse operator (rows_per_shard x (rows + S*H)). This composes the
+  measured-fast kernel with the exchange — every device computes at
+  single-chip BSR speed (the plain gather/segment-sum shard compute is the
+  measured 5-6x-slower path, DESIGN.md SS1/SS4).
 
 All are exact: ``sharded_spmm(partition(g), x) == spmm(g, x)`` (tested in
 tests/test_partition.py).
@@ -45,6 +45,42 @@ from chromegcn_tpu.ops.sparse import SparseGraph
 
 
 @struct.dataclass
+class ShardedBSR:
+    """Device-stacked per-shard rectangular BSR operators (leading axis S).
+
+    Shard s's forward operator is (rows_per_shard x (rows + S*H)): local
+    output rows by read-buffer columns, where the buffer is
+    [x_local (rows) ; halo (S owner-blocks of H rows from the all_to_all)].
+    Local-sender edges land in the first ``rows`` columns (no exchange);
+    remote edges in the halo block. ``bwd_*`` is the per-shard transpose
+    ((rows + S*H) x rows_per_shard) consumed by the SpMM custom VJP —
+    d(buffer) = A_s^T g splits into d(x_local) plus d(halo), the latter
+    flowing back through the all_to_all to the owners.
+
+    Tile/strip counts are padded to the max across shards so every device
+    runs one identical kernel (pad blocks sit at (0,0) with zero values —
+    exact no-ops under the kernel's `+=`).
+    """
+
+    fwd_tiles: jax.Array     # (S, nt, tile_r, tile_c)
+    fwd_tile_rb: jax.Array   # (S, nt) int32
+    fwd_tile_cb: jax.Array   # (S, nt) int32
+    fwd_strips: jax.Array    # (S, ns, 8, tile_c)
+    fwd_strip_rb: jax.Array  # (S, ns) int32
+    fwd_strip_cb: jax.Array  # (S, ns) int32
+    bwd_tiles: jax.Array
+    bwd_tile_rb: jax.Array
+    bwd_tile_cb: jax.Array
+    bwd_strips: jax.Array
+    bwd_strip_rb: jax.Array
+    bwd_strip_cb: jax.Array
+    tile_r: int = struct.field(pytree_node=False)
+    tile_c: int = struct.field(pytree_node=False)
+    n_rows: int = struct.field(pytree_node=False)  # rows_per_shard
+    n_cols: int = struct.field(pytree_node=False)  # rows + S * halo_width
+
+
+@struct.dataclass
 class PartitionedGraph:
     """Per-shard COO with device-stacked leading axis.
 
@@ -55,10 +91,22 @@ class PartitionedGraph:
       send_map:     (S, S, H) int32 — send_map[owner, dest] lists the
                     *local* row ids ``owner`` must ship to ``dest`` (padded
                     with 0; padding slots are ignored by construction
-                    because no edge reads them).
+                    because no edge reads them). The self row
+                    send_map[o, o] is all-zero: local senders never ride
+                    the exchange — Hi-C graphs are diagonal-dominant, so a
+                    shard's own rows dominate its reads, and routing them
+                    through the all_to_all would inflate H (a global max)
+                    to ~rows_per_shard, making "halo" cost what all_gather
+                    costs. Excluding them leaves H the true boundary band.
       senders_halo: (S, E_s) int32 — per edge, the position of its sender
-                    inside the shard's received halo buffer, which is laid
-                    out as S owner-blocks of H rows each.
+                    inside the shard's concatenated read buffer
+                    [x_local (rows) ; halo (S owner-blocks of H rows)]:
+                    local senders index [0, rows), remote senders index
+                    rows + owner*H + rank.
+      bsr:          optional ShardedBSR (attach_shard_bsr) — per-shard
+                    block-sparse forms in buffer coordinates, so the halo
+                    exchange feeds the Pallas kernel instead of
+                    gather+segment-sum.
     """
 
     senders: jax.Array           # (S, E_s) int32 global
@@ -70,6 +118,7 @@ class PartitionedGraph:
     n_shards: int = struct.field(pytree_node=False)
     rows_per_shard: int = struct.field(pytree_node=False)
     halo_width: int = struct.field(pytree_node=False, default=0)
+    bsr: Optional[ShardedBSR] = None
 
     @property
     def n_nodes(self) -> int:
@@ -115,8 +164,16 @@ def partition_graph(
     send_map = senders_halo = None
     h_pad = 0
     if build_halo:
+        # H is sized by REMOTE requests only: local senders read x_local
+        # directly (see class docstring — including them makes halo cost
+        # what all_gather costs on diagonal-dominant graphs)
         h_max = max(
-            (len(needed[s][o]) for s in range(n_shards) for o in range(n_shards)),
+            (
+                len(needed[s][o])
+                for s in range(n_shards)
+                for o in range(n_shards)
+                if o != s
+            ),
             default=1,
         )
         h_pad = int(np.ceil(max(h_max, 1) / 128) * 128)
@@ -124,19 +181,29 @@ def partition_graph(
         senders_halo = np.zeros((n_shards, e_pad), np.int32)
         for s in range(n_shards):
             for o in range(n_shards):
+                if o == s:
+                    continue  # self block stays a dummy (no ICI traffic)
                 req = needed[s][o]
                 # owner o ships these (local ids) to destination s
                 send_map[o, s, : len(req)] = req - o * rows
-            # halo buffer layout at shard s: owner-blocks of h_pad rows each;
-            # edge sender g sits at o*h_pad + rank of g within needed[s][o]
+            # read-buffer layout at shard s: [x_local (rows) ; halo
+            # owner-blocks of h_pad rows each]; a local sender g sits at
+            # g - s*rows, a remote one at rows + o*h_pad + rank of g
+            # within needed[s][o]
             k = len(per_shard[s])
             es = senders[per_shard[s]]
             owner = es // rows
             pos = np.zeros(k, np.int64)
+            local = owner == s
+            pos[local] = es[local] - s * rows
             for o in range(n_shards):
+                if o == s:
+                    continue
                 sel = owner == o
                 if sel.any():
-                    pos[sel] = o * h_pad + np.searchsorted(needed[s][o], es[sel])
+                    pos[sel] = (
+                        rows + o * h_pad + np.searchsorted(needed[s][o], es[sel])
+                    )
             senders_halo[s, :k] = pos
 
     return PartitionedGraph(
@@ -149,6 +216,93 @@ def partition_graph(
         n_shards=n_shards,
         rows_per_shard=rows,
         halo_width=h_pad,
+    )
+
+
+def attach_shard_bsr(
+    pg: PartitionedGraph,
+    tile: Optional[int] = None,
+    tile_c: Optional[int] = None,
+    min_edges_per_tile: "int | str" = "auto",
+    dtype: str = "float32",
+) -> PartitionedGraph:
+    """Build per-shard rectangular BSR operators in read-buffer coordinates.
+
+    Each shard's edge set, already re-keyed to (local row, buffer column) by
+    ``partition_graph``, is converted with the same host-side tiling the
+    single-device kernel uses (ops/spmm_pallas._build_one_direction), then
+    stacked along a leading shard axis with tile/strip counts padded to the
+    max across shards (one compiled kernel for all devices).
+    """
+    from chromegcn_tpu.ops.spmm_pallas import (
+        TILE,
+        TILE_C,
+        _build_one_direction,
+    )
+
+    if pg.send_map is None:
+        raise ValueError("partition was built without halo metadata")
+    tile = TILE if tile is None else tile
+    tile_c = TILE_C if tile_c is None else tile_c
+    rows = pg.rows_per_shard
+    # per-shard read buffer = [x_local (rows) ; halo (S*H)]
+    buf_cols = rows + pg.n_shards * pg.halo_width
+    if rows % tile or rows % tile_c or buf_cols % tile_c or buf_cols % tile:
+        raise ValueError(
+            f"rows_per_shard={rows} and buffer={buf_cols} must be multiples "
+            f"of tile={tile} and tile_c={tile_c}"
+        )
+    np_dtype = {"float32": np.float32, "bfloat16": jnp.bfloat16}[dtype]
+
+    cols_h = np.asarray(pg.senders_halo)
+    rows_l = np.asarray(pg.receivers_local)
+    vals = np.asarray(pg.vals)
+    fwd, bwd = [], []
+    for s in range(pg.n_shards):
+        live = vals[s] != 0.0  # padding edges carry val 0 (exact no-ops)
+        c, r, v = cols_h[s][live], rows_l[s][live], vals[s][live]
+        fwd.append(
+            _build_one_direction(
+                c, r, v, n_rows=rows, tile_r=tile, tile_c=tile_c,
+                min_edges_per_tile=min_edges_per_tile, dtype=np_dtype,
+                n_cols=buf_cols,
+            )
+        )
+        bwd.append(
+            _build_one_direction(
+                r, c, v, n_rows=buf_cols, tile_r=tile, tile_c=tile_c,
+                min_edges_per_tile=min_edges_per_tile, dtype=np_dtype,
+                n_cols=rows,
+            )
+        )
+
+    def stack(mats, field):
+        arrs = [np.asarray(getattr(m, field)) for m in mats]
+        n_max = max(a.shape[0] for a in arrs)
+        out = np.zeros((len(arrs), n_max) + arrs[0].shape[1:], arrs[0].dtype)
+        for i, a in enumerate(arrs):
+            out[i, : a.shape[0]] = a
+        return jnp.asarray(out)
+
+    return pg.replace(
+        bsr=ShardedBSR(
+            fwd_tiles=stack(fwd, "tiles"),
+            fwd_tile_rb=stack(fwd, "tile_rb"),
+            fwd_tile_cb=stack(fwd, "tile_cb"),
+            fwd_strips=stack(fwd, "strips"),
+            fwd_strip_rb=stack(fwd, "strip_rb"),
+            fwd_strip_cb=stack(fwd, "strip_cb"),
+            bwd_tiles=stack(bwd, "tiles"),
+            bwd_tile_rb=stack(bwd, "tile_rb"),
+            bwd_tile_cb=stack(bwd, "tile_cb"),
+            bwd_strips=stack(bwd, "strips"),
+            bwd_strip_rb=stack(bwd, "strip_rb"),
+            bwd_strip_cb=stack(bwd, "strip_cb"),
+            tile_r=tile,
+            tile_c=tile_c,
+            n_rows=rows,
+            n_cols=buf_cols,
+        )
     )
 
 
@@ -191,13 +345,65 @@ def sharded_spmm(
                 send_buf, axis, split_axis=0, concat_axis=0, tiled=False
             )
             halo = recv.reshape(-1, x_local.shape[-1])  # (S*H, d) owner-blocks
-            gathered = jnp.take(halo, senders_halo[0], axis=0) * vals[0][:, None]
+            # read buffer = [local rows ; halo]: local senders skip the
+            # exchange entirely (see PartitionedGraph docstring)
+            buffer = jnp.concatenate([x_local, halo], axis=0)
+            gathered = jnp.take(buffer, senders_halo[0], axis=0) * vals[0][:, None]
             return jax.ops.segment_sum(
                 gathered, receivers_local[0], num_segments=rows
             )
 
         args = (pg.send_map, pg.senders_halo, pg.receivers_local, pg.vals, x)
         in_specs = (P(axis, None, None), P(axis, None), P(axis, None), P(axis, None), P(axis, None))
+    elif strategy == "halo_bsr":
+        if pg.bsr is None:
+            raise ValueError(
+                "strategy='halo_bsr' needs per-shard block-sparse forms; "
+                "attach them with parallel.graph.attach_shard_bsr(pg)"
+            )
+        from chromegcn_tpu.ops.spmm_pallas import BSRMatrix, BSROperator, _spmm_bsr
+
+        sb = pg.bsr
+
+        def kernel(send_map, ft, frb, fcb, fs, fsrb, fscb,
+                   bt, brb, bcb, bs_, bsrb, bscb, x_local):
+            # identical halo exchange to 'halo' ...
+            send_buf = jnp.take(x_local, send_map[0], axis=0)
+            recv = jax.lax.all_to_all(
+                send_buf, axis, split_axis=0, concat_axis=0, tiled=False
+            )
+            halo = recv.reshape(-1, x_local.shape[-1])  # (S*H, d) owner-blocks
+            buffer = jnp.concatenate([x_local, halo], axis=0)
+            # ... feeding the Pallas block-sparse kernel instead of
+            # gather+segment-sum: per-shard rectangular operator
+            # (rows_per_shard x (rows + S*H)), custom VJP routes
+            # d(buffer) = A_s^T g back through the concat/all_to_all
+            # transposes automatically.
+            fwd = BSRMatrix(
+                tiles=ft[0], tile_rb=frb[0], tile_cb=fcb[0],
+                strips=fs[0], strip_rb=fsrb[0], strip_cb=fscb[0],
+                n_rows=sb.n_rows, n_cols=sb.n_cols,
+                tile_r=sb.tile_r, tile_c=sb.tile_c,
+            )
+            bwd = BSRMatrix(
+                tiles=bt[0], tile_rb=brb[0], tile_cb=bcb[0],
+                strips=bs_[0], strip_rb=bsrb[0], strip_cb=bscb[0],
+                n_rows=sb.n_cols, n_cols=sb.n_rows,
+                tile_r=sb.tile_r, tile_c=sb.tile_c,
+            )
+            return _spmm_bsr(BSROperator(fwd=fwd, bwd=bwd), buffer)
+
+        args = (
+            pg.send_map,
+            sb.fwd_tiles, sb.fwd_tile_rb, sb.fwd_tile_cb,
+            sb.fwd_strips, sb.fwd_strip_rb, sb.fwd_strip_cb,
+            sb.bwd_tiles, sb.bwd_tile_rb, sb.bwd_tile_cb,
+            sb.bwd_strips, sb.bwd_strip_rb, sb.bwd_strip_cb,
+            x,
+        )
+        in_specs = (P(axis, None, None),) + tuple(
+            P(axis, *([None] * (a.ndim - 1))) for a in args[1:]
+        )
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -206,3 +412,65 @@ def sharded_spmm(
         check_vma=False,
     )
     return fn(*args)
+
+
+@struct.dataclass
+class ShardedGraph:
+    """Node-sharded drop-in for SparseGraph in the chrome model.
+
+    Carries the partitioned operator plus the mesh/strategy statics, so the
+    unchanged ChromeGCN forward (models/chrome.py) runs multi-device: the
+    ops.spmm dispatch routes to ``sharded_spmm`` (shard_map halo exchange
+    + per-shard compute), while the pointwise model math and MaskedBatchNorm
+    stay ordinary jit code that GSPMD shards over the same mesh. This is the
+    trainer-integrated form the reference's nn.DataParallel wiring
+    corresponds to (reference: main.py:92-94 — its one parallelism is wired
+    into the real training path; ours is the GCN-stage node partition).
+
+    ``node_mask`` is the full (N,) mask (loss + BatchNorm statistics);
+    ``mesh``/``axis``/``strategy`` are pytree-static (Mesh is hashable).
+    """
+
+    pg: PartitionedGraph
+    node_mask: jax.Array  # (N,) bool
+    mesh: Mesh = struct.field(pytree_node=False)
+    axis: str = struct.field(pytree_node=False, default="graph")
+    strategy: str = struct.field(pytree_node=False, default="halo")
+    n_nodes: int = struct.field(pytree_node=False, default=0)
+
+
+def shard_graph(
+    graph: SparseGraph,
+    mesh: Mesh,
+    axis: str = "graph",
+    strategy: str = "auto",
+    spmm_dtype: str = "float32",
+) -> ShardedGraph:
+    """Partition a chromosome graph for multi-device training.
+
+    strategy: 'auto' picks 'halo_bsr' (halo exchange feeding the per-shard
+    Pallas BSR kernel) when the single-device graph carries a BSR form (the
+    trainer attaches one on TPU), else 'halo'; or pass
+    'halo' | 'halo_bsr' | 'all_gather' explicitly.
+    """
+    n_shards = mesh.shape[axis]
+    if strategy == "auto":
+        strategy = "halo_bsr" if getattr(graph, "bsr", None) is not None else "halo"
+    pg = partition_graph(graph, n_shards, build_halo=True)
+    if strategy == "halo_bsr":
+        pg = attach_shard_bsr(pg, dtype=spmm_dtype)
+    return ShardedGraph(
+        pg=pg,
+        node_mask=graph.node_mask,
+        mesh=mesh,
+        axis=axis,
+        strategy=strategy,
+        n_nodes=graph.n_nodes,
+    )
+
+
+def sharded_graph_spmm(graph: ShardedGraph, x: jax.Array) -> jax.Array:
+    """SpMM entry used by the ops.spmm dispatch for ShardedGraph."""
+    return sharded_spmm(
+        graph.pg, x, graph.mesh, axis=graph.axis, strategy=graph.strategy
+    )

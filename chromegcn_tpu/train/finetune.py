@@ -149,17 +149,24 @@ def run_chrome_epoch(
     graphs: Dict[str, SparseGraph],
     train: bool,
     rng: Optional[jax.Array] = None,
+    place=None,
 ) -> Tuple[ChromeTrainState, np.ndarray, np.ndarray, float]:
     """One epoch = one pass over all chromosomes of a split
-    (reference: finetune.py:29-55). Returns dataset-order preds/targets."""
+    (reference: finetune.py:29-55). Returns dataset-order preds/targets.
+
+    ``place`` (optional) device-puts each (N, ...) array — the multi-device
+    path passes a node-sharding placement so chromosome features land
+    pre-sharded over the graph mesh axis."""
+    if place is None:
+        place = jnp.asarray
     preds_parts, targ_parts, losses = [], [], []
     valid_counts = []
     for chrom, cf in features.items():
         graph = graphs[chrom]
         n_pad = graph.n_nodes
-        x_f = jnp.asarray(pad_rows(cf.forward, n_pad))
-        x_r = jnp.asarray(pad_rows(cf.backward, n_pad))
-        targets = jnp.asarray(pad_rows(cf.target, n_pad))
+        x_f = place(pad_rows(cf.forward, n_pad))
+        x_r = place(pad_rows(cf.backward, n_pad))
+        targets = place(pad_rows(cf.target, n_pad))
         if train:
             rng, step_rng = jax.random.split(rng)
             state, loss, probs = chrome_train_step(

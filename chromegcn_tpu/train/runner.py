@@ -230,26 +230,38 @@ def run_pretrain(cfg: Config, splits: Dict[str, WindowDataset], verbose=print):
     return state, tracker
 
 
+def _use_bsr(cfg: Config) -> bool:
+    """Whether the Pallas block-sparse SpMM path is in play for this run."""
+    return cfg.spmm_impl == "pallas" or (
+        cfg.spmm_impl == "auto" and jax.default_backend() == "tpu"
+    )
+
+
 def build_split_graphs(
     cfg: Config,
     features: Dict[str, "ft.ChromFeatures"],
     split: str,
     edge_capacity: Optional[int] = None,
+    n_shards: int = 1,
 ) -> Dict[str, SparseGraph]:
     """Build per-chromosome SparseGraphs for one split, loading Hi-C edge
     artifacts when the adjacency flavor needs them
     (reference: finetune.py:20-23 reloads the pkl every epoch; graphs are
-    static so we build once)."""
+    static so we build once).
+
+    n_shards > 1 sizes the node-padding bucket so every shard's row range
+    is a multiple of the kernel tile height (128), and skips the
+    single-device BSR attach — the per-shard block-sparse forms are built
+    in halo coordinates by parallel.graph.shard_graph instead."""
     hic_edges = None
     if cfg.adj_type in ("hic", "both"):
         hic_edges = artifact.load_graph_edges(cfg.graph_path(split))
-    use_bsr = cfg.spmm_impl == "pallas" or (
-        cfg.spmm_impl == "auto" and jax.default_backend() == "tpu"
-    )
+    use_bsr = _use_bsr(cfg)
+    bucket = 2048 if n_shards <= 1 else int(np.lcm(2048, 128 * n_shards))
     graphs = {}
     for chrom, cf in features.items():
         n_valid = cf.forward.shape[0]
-        n_pad = ft.bucket_nodes(n_valid)
+        n_pad = ft.bucket_nodes(n_valid, bucket=bucket)
         g = build_chrom_graph(
             cfg.adj_type,
             n_valid=n_valid,
@@ -257,12 +269,49 @@ def build_split_graphs(
             edge_capacity=edge_capacity,
             hic_edges=None if hic_edges is None else hic_edges[chrom],
         )
-        if use_bsr:
+        if use_bsr and n_shards <= 1:
             from chromegcn_tpu.ops.spmm_pallas import attach_bsr
 
             g = attach_bsr(g, dtype=cfg.spmm_dtype)
         graphs[chrom] = g
     return graphs
+
+
+def shard_split_graphs(cfg: Config, graphs, mesh, verbose=print):
+    """Partition every chromosome graph over the mesh's 'graph' axis and
+    return (sharded graphs, feature placement fn).
+
+    This is the trainer-integrated multi-device GCN path (the reference
+    wires its one parallelism into the real loop the same way —
+    reference: main.py:92-94): ``-graph_devices N`` node-partitions each
+    chromosome, the halo all_to_all exchanges boundary features over ICI,
+    and per-shard compute runs the Pallas BSR kernel ('halo_bsr') or
+    gather+segment-sum ('halo')."""
+    from chromegcn_tpu.parallel.graph import shard_graph
+    from chromegcn_tpu.parallel.mesh import node_sharding
+
+    strategy = cfg.graph_strategy
+    if strategy == "auto":
+        strategy = "halo_bsr" if _use_bsr(cfg) else "halo"
+    sharded = {
+        split: {
+            chrom: shard_graph(
+                g, mesh, strategy=strategy, spmm_dtype=cfg.spmm_dtype
+            )
+            for chrom, g in per.items()
+        }
+        for split, per in graphs.items()
+    }
+    sharding = node_sharding(mesh)
+
+    def place(arr):
+        return jax.device_put(arr, sharding)
+
+    verbose(
+        f"node-sharded GCN over {mesh.shape['graph']} devices "
+        f"(strategy={strategy})"
+    )
+    return sharded, place
 
 
 def run_finetune(cfg: Config, verbose=print):
@@ -275,9 +324,17 @@ def run_finetune(cfg: Config, verbose=print):
     label_names = [f"label{i}" for i in range(n_targets)]
 
     graphs = {
-        split: build_split_graphs(cfg, features[split], split)
+        split: build_split_graphs(
+            cfg, features[split], split, n_shards=cfg.graph_devices
+        )
         for split in ("train", "valid", "test")
     }
+    place = None
+    if cfg.graph_devices > 1:
+        from chromegcn_tpu.parallel.mesh import make_mesh
+
+        mesh_g = make_mesh(cfg.graph_devices, axis="graph")
+        graphs, place = shard_split_graphs(cfg, graphs, mesh_g, verbose=verbose)
 
     model = make_chrome_model(
         cfg.chrome_model, nclass=n_targets, dropout=cfg.gcn_dropout,
@@ -347,7 +404,8 @@ def run_finetune(cfg: Config, verbose=print):
             rng, ep_rng = jax.random.split(rng)
             t0 = time.time()
             state, preds, targs, loss = ft.run_chrome_epoch(
-                state, features["train"], graphs["train"], train=True, rng=ep_rng
+                state, features["train"], graphs["train"], train=True,
+                rng=ep_rng, place=place,
             )
             _check_finite(loss, f"finetune epoch {epoch}")
             train_metrics = _metrics_for(
@@ -355,7 +413,8 @@ def run_finetune(cfg: Config, verbose=print):
             )
             t0 = time.time()
             state, preds, targs, valid_loss = ft.run_chrome_epoch(
-                state, features["valid"], graphs["valid"], train=False
+                state, features["valid"], graphs["valid"], train=False,
+                place=place,
             )
             valid_metrics = _metrics_for(
                 preds, targs, valid_loss, (time.time() - t0) / 60, cfg, label_names
@@ -366,7 +425,7 @@ def run_finetune(cfg: Config, verbose=print):
 
         t0 = time.time()
         state, test_preds, test_targs, test_loss = ft.run_chrome_epoch(
-            state, features["test"], graphs["test"], train=False
+            state, features["test"], graphs["test"], train=False, place=place
         )
         test_metrics = _metrics_for(
             test_preds, test_targs, test_loss, (time.time() - t0) / 60, cfg, label_names

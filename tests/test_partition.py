@@ -34,6 +34,84 @@ def test_sharded_spmm_matches_single_device(n_shards, strategy):
     np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_halo_bsr_matches_single_device(n_shards):
+    """halo exchange feeding the per-shard Pallas BSR kernel == single-device
+    SpMM (forward AND gradient — the custom VJP must route d(halo) = A_s^T g
+    back through the all_to_all transpose)."""
+    from chromegcn_tpu.parallel.graph import attach_shard_bsr
+
+    n, d = 1024, 8  # rows_per_shard must be a multiple of the 128 tile
+    graph, dense = _graph(n, density=0.01, seed=2)
+    x = np.random.default_rng(1).normal(size=(n, d)).astype(np.float32)
+
+    expected = np.asarray(spmm_xla(graph, jnp.asarray(x)))
+    mesh = make_mesh(n_shards, axis="graph")
+    pg = attach_shard_bsr(partition_graph(graph, n_shards))
+    out = sharded_spmm(pg, jnp.asarray(x), mesh, axis="graph", strategy="halo_bsr")
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5, atol=1e-5)
+
+    # gradient: d/dx sum(A x * w) = A^T w for a fixed weight matrix w
+    w = np.random.default_rng(2).normal(size=(n, d)).astype(np.float32)
+    g_ref = jax.grad(
+        lambda xx: jnp.sum(spmm_xla(graph, xx) * w)
+    )(jnp.asarray(x))
+    g_sh = jax.grad(
+        lambda xx: jnp.sum(
+            sharded_spmm(pg, xx, mesh, axis="graph", strategy="halo_bsr") * w
+        )
+    )(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_graph_dispatch_and_train_step_parity():
+    """ops.spmm routes a ShardedGraph to the shard_map path, and the REAL
+    chrome_train_step produces the same loss/update as single-device."""
+    from chromegcn_tpu.models.chrome import ChromeGCN
+    from chromegcn_tpu.ops.spmm import spmm
+    from chromegcn_tpu.parallel.graph import shard_graph
+    from chromegcn_tpu.parallel.mesh import node_sharding
+    from chromegcn_tpu.train.finetune import chrome_train_step, create_chrome_state
+    from chromegcn_tpu.train.optim import make_optimizer
+
+    n, d, ncls = 1024, 16, 6
+    graph, _ = _graph(n, density=0.01, seed=4)
+    mesh = make_mesh(8, axis="graph")
+    sg = shard_graph(graph, mesh, strategy="halo")
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(n, d)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(spmm(sg, x)), np.asarray(spmm_xla(graph, x)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    nprng = np.random.default_rng(1)
+    model = ChromeGCN(nfeat=d, nhid=d, nclass=ncls, dropout=0.0, layers=2)
+    x_f = nprng.normal(size=(n, d)).astype(np.float32)
+    x_r = nprng.normal(size=(n, d)).astype(np.float32)
+    targets = (nprng.random((n, ncls)) < 0.3).astype(np.float32)
+
+    st1 = create_chrome_state(model, make_optimizer("sgd", 0.25), rng, nfeat=d, n_nodes=128)
+    st1, loss1, probs1 = chrome_train_step(
+        st1, jnp.asarray(x_f), jnp.asarray(x_r), graph, jnp.asarray(targets), rng
+    )
+    ns = node_sharding(mesh)
+    st8 = create_chrome_state(model, make_optimizer("sgd", 0.25), rng, nfeat=d, n_nodes=128)
+    st8, loss8, probs8 = chrome_train_step(
+        st8,
+        jax.device_put(x_f, ns), jax.device_put(x_r, ns),
+        sg, jax.device_put(targets, ns), rng,
+    )
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(probs8), np.asarray(probs1), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(st8.params["GC1"]["weight"]),
+        np.asarray(st1.params["GC1"]["weight"]),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
 def test_partition_preserves_masks_and_edges():
     n = 32
     graph, dense = _graph(n, density=0.2, seed=3)
