@@ -74,6 +74,47 @@ def bench_impl(impl: str, graph, x_f, x_r, targets, iters=20):
     return dt, float(loss)
 
 
+# Roofline reference points (BASELINE.md "SpMM >= 80% of roofline"):
+# - nominal HBM bandwidth of a TPU v5 lite chip (public spec), and
+# - the measured tile-DMA element-rate bound on THIS chip/backend
+#   (~20 G elem/s, dtype-independent — DESIGN.md §1 DMA-only ablation),
+#   which is what the block-streaming format can physically hit here.
+HBM_BYTES_PER_S = 819e9
+BLOCK_STREAM_ELEMS_PER_S = 20e9
+
+
+def bench_roofline(graph_bsr, iters=50):
+    """Kernel-only SpMM timing (single-dispatch fori loop — the only timing
+    this backend reports honestly, DESIGN.md §7) + streamed-traffic
+    accounting, reported as % of the two roofline candidates."""
+    from chromegcn_tpu.ops.spmm_pallas import spmm_pallas, streamed_elements
+
+    op = graph_bsr.bsr
+    acct = streamed_elements(op, d=D)["fwd"]
+    x0 = jnp.zeros((N_PAD, D), jnp.float32)
+
+    def step(i, x):
+        return spmm_pallas(op, x) * 0.999 + x * 1e-4
+
+    f = jax.jit(lambda x: jax.lax.fori_loop(0, iters, step, x))
+    jax.block_until_ready(f(x0))
+    t0 = time.perf_counter()
+    jax.block_until_ready(f(x0))
+    dt = (time.perf_counter() - t0) / iters
+
+    block_bytes = acct["block_elems"] * acct["elem_bytes"]
+    total_bytes = block_bytes + acct["x_out_elems"] * 4
+    hbm_bound_s = total_bytes / HBM_BYTES_PER_S
+    stream_bound_s = acct["block_elems"] / BLOCK_STREAM_ELEMS_PER_S
+    return {
+        "spmm_ms": round(dt * 1e3, 4),
+        "streamed_block_elems": acct["block_elems"],
+        "streamed_mbytes": round(total_bytes / 1e6, 2),
+        "pct_of_block_stream_bound": round(100 * stream_bound_s / dt, 1),
+        "pct_of_hbm_roofline": round(100 * hbm_bound_s / dt, 1),
+    }
+
+
 def main():
     graph, x_f, x_r, targets = build()
     n_edges = int(graph.n_edges)
@@ -101,6 +142,10 @@ def main():
     except ImportError:
         pass
 
+    roofline = None
+    if "pallas" in results:
+        roofline = bench_roofline(graph_bsr)
+
     parity = {k: v for k, v in results.items() if k != "pallas_bf16"}
     best_impl = min(parity, key=parity.get)
     best_dt = results[best_impl]
@@ -119,6 +164,8 @@ def main():
                     "step_ms": {k: round(v * 1e3, 3) for k, v in results.items()},
                     "n_nodes": N_PAD,
                     "n_edges": n_edges,
+                    "edge_pass_convention": "fwd+bwd counted as 2 passes per layer per strand",
+                    "roofline": roofline,
                     "backend": jax.default_backend(),
                 },
             }

@@ -67,6 +67,15 @@ class BSRMatrix:
     strips: jax.Array     # (ns, 8, tile_c) dense strips for straggler edges
     strip_rb: jax.Array   # (ns,) int32 strip row-block index (units of 8 rows)
     strip_cb: jax.Array   # (ns,) int32 strip col-block index (units of tile_c)
+    # (2,) int32 [live tile grid steps, live strip grid steps]: block counts
+    # are bucketed (128) so compiled programs are shared across chromosomes
+    # and shards, but the kernel's index maps clamp to the LIVE step count —
+    # Mosaic skips the DMA when the block index repeats and pl.when skips
+    # the compute, so the padding blocks cost ~nothing (measured ~9% of
+    # kernel time before this, more on small chromosomes). Dynamic (a
+    # prefetched scalar), NOT a static field: static would specialize the
+    # compile per chromosome and defeat the bucketing.
+    live: jax.Array
     n_rows: int = struct.field(pytree_node=False)
     n_cols: int = struct.field(pytree_node=False)
     tile_r: int = struct.field(pytree_node=False)
@@ -187,6 +196,13 @@ def _build_one_direction(
         np.add.at(strips, (sidx, sr % STRIP_R, ss % tile_c), sv)
 
     cast = (lambda a: a) if dtype == np.float32 else (lambda a: a.astype(dtype))
+    live = np.asarray(
+        [
+            max(1, -(-nt // TILES_PER_STEP)),
+            max(1, -(-ns // STRIPS_PER_STEP)),
+        ],
+        np.int32,
+    )
     return BSRMatrix(
         tiles=jnp.asarray(cast(tiles)),
         tile_rb=jnp.asarray(tile_rb),
@@ -194,6 +210,7 @@ def _build_one_direction(
         strips=jnp.asarray(cast(strips)),
         strip_rb=jnp.asarray(strip_rb),
         strip_cb=jnp.asarray(strip_cb),
+        live=jnp.asarray(live),
         n_rows=n_rows,
         n_cols=n_cols,
         tile_r=tile_r,
@@ -287,15 +304,19 @@ def _bsr_matmul(m: BSRMatrix, x: jax.Array) -> jax.Array:
         jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     )
 
-    def kernel(rbt_ref, cbt_ref, rbs_ref, cbs_ref, tiles_ref, strips_ref,
-               x_ref, out_ref):
+    def kernel(rbt_ref, cbt_ref, rbs_ref, cbs_ref, live_ref, tiles_ref,
+               strips_ref, x_ref, out_ref):
         step = pl.program_id(0)
 
         @pl.when(step == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        @pl.when(step < st)
+        # live_ref holds [live tile steps, live strip steps]: block counts
+        # are bucketed for compile sharing, and steps past the live range
+        # are dead — their index maps pin the block index (DMA elided by
+        # the pipeline's same-index skip) and pl.when skips their compute.
+        @pl.when(step < live_ref[0])
         def _():
             for k in range(K):
                 t = step * K + k
@@ -311,7 +332,7 @@ def _bsr_matmul(m: BSRMatrix, x: jax.Array) -> jax.Array:
                     precision=precision,
                 )
 
-        @pl.when(step >= st)
+        @pl.when((step >= st) & (step - st < live_ref[1]))
         def _():
             for k in range(K2):
                 t = (step - st) * K2 + k
@@ -326,15 +347,24 @@ def _bsr_matmul(m: BSRMatrix, x: jax.Array) -> jax.Array:
                 )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(st + ss,),
         in_specs=[
             pl.BlockSpec(
-                (K, tr, tc), lambda s, *_: (jnp.minimum(s, st - 1), 0, 0)
+                (K, tr, tc),
+                lambda s, rbt, cbt, rbs, cbs, live: (
+                    jnp.minimum(s, live[0] - 1),
+                    0,
+                    0,
+                ),
             ),
             pl.BlockSpec(
                 (K2, STRIP_R, tc),
-                lambda s, *_: (jnp.clip(s - st, 0, ss - 1), 0, 0),
+                lambda s, rbt, cbt, rbs, cbs, live: (
+                    jnp.clip(s - st, 0, live[1] - 1),
+                    0,
+                    0,
+                ),
             ),
             pl.BlockSpec((m.n_cols, d), lambda s, *_: (0, 0)),
         ],
@@ -357,7 +387,7 @@ def _bsr_matmul(m: BSRMatrix, x: jax.Array) -> jax.Array:
             vmem_limit_bytes=128 * 1024 * 1024
         ),
         interpret=jax.default_backend() == "cpu",
-    )(m.tile_rb, m.tile_cb, m.strip_rb, m.strip_cb, m.tiles, m.strips, x)
+    )(m.tile_rb, m.tile_cb, m.strip_rb, m.strip_cb, m.live, m.tiles, m.strips, x)
 
 
 @jax.custom_vjp
@@ -550,6 +580,42 @@ def attach_bsr(
     else:
         op = bsr_from_graph(graph, tile, min_edges_per_tile, dtype)
     return graph.replace(bsr=op)
+
+
+def streamed_elements(op, d: int = 128) -> dict:
+    """Roofline accounting: elements the kernel actually streams per SpMM.
+
+    Counts LIVE grid steps only (dead bucketing steps pin their block index
+    so the pipeline elides the DMA — see BSRMatrix.live). Used by bench.py
+    to report % of the measured block-stream bound and % of the HBM-bytes
+    roofline (BASELINE.md "SpMM >= 80% of roofline" accounting).
+
+    Returns per-direction block elements plus the x/out resident traffic
+    (streamed once per kernel launch, not per block).
+    """
+    def one(m: BSRMatrix) -> dict:
+        lt, ls = (int(v) for v in np.asarray(m.live))
+        tile_elems = lt * TILES_PER_STEP * m.tile_r * m.tile_c
+        strip_elems = ls * STRIPS_PER_STEP * STRIP_R * m.tile_c
+        return {
+            "tile_elems": tile_elems,
+            "strip_elems": strip_elems,
+            "block_elems": tile_elems + strip_elems,
+            "x_out_elems": (m.n_cols + m.n_rows) * d,
+            "elem_bytes": 2 if m.tiles.dtype == jnp.bfloat16 else 4,
+        }
+
+    if isinstance(op, BSROperator):
+        return {"fwd": one(op.fwd), "bwd": one(op.bwd)}
+    if isinstance(op, BSRPanelOperator):
+        def tot(ms):
+            out: dict = {}
+            for m in ms:
+                for k, v in one(m).items():
+                    out[k] = v if k == "elem_bytes" else out.get(k, 0) + v
+            return out
+        return {"fwd": tot(op.fwd), "bwd": tot(op.bwd)}
+    raise TypeError(f"unsupported operator type {type(op)}")
 
 
 def spmm_pallas(graph, x: jax.Array) -> jax.Array:

@@ -68,12 +68,14 @@ class ShardedBSR:
     fwd_strips: jax.Array    # (S, ns, 8, tile_c)
     fwd_strip_rb: jax.Array  # (S, ns) int32
     fwd_strip_cb: jax.Array  # (S, ns) int32
+    fwd_live: jax.Array      # (S, 2) int32 live (tile, strip) grid steps
     bwd_tiles: jax.Array
     bwd_tile_rb: jax.Array
     bwd_tile_cb: jax.Array
     bwd_strips: jax.Array
     bwd_strip_rb: jax.Array
     bwd_strip_cb: jax.Array
+    bwd_live: jax.Array
     tile_r: int = struct.field(pytree_node=False)
     tile_c: int = struct.field(pytree_node=False)
     n_rows: int = struct.field(pytree_node=False)  # rows_per_shard
@@ -292,12 +294,14 @@ def attach_shard_bsr(
             fwd_strips=stack(fwd, "strips"),
             fwd_strip_rb=stack(fwd, "strip_rb"),
             fwd_strip_cb=stack(fwd, "strip_cb"),
+            fwd_live=stack(fwd, "live"),
             bwd_tiles=stack(bwd, "tiles"),
             bwd_tile_rb=stack(bwd, "tile_rb"),
             bwd_tile_cb=stack(bwd, "tile_cb"),
             bwd_strips=stack(bwd, "strips"),
             bwd_strip_rb=stack(bwd, "strip_rb"),
             bwd_strip_cb=stack(bwd, "strip_cb"),
+            bwd_live=stack(bwd, "live"),
             tile_r=tile,
             tile_c=tile_c,
             n_rows=rows,
@@ -365,8 +369,8 @@ def sharded_spmm(
 
         sb = pg.bsr
 
-        def kernel(send_map, ft, frb, fcb, fs, fsrb, fscb,
-                   bt, brb, bcb, bs_, bsrb, bscb, x_local):
+        def kernel(send_map, ft, frb, fcb, fs, fsrb, fscb, flv,
+                   bt, brb, bcb, bs_, bsrb, bscb, blv, x_local):
             # identical halo exchange to 'halo' ...
             send_buf = jnp.take(x_local, send_map[0], axis=0)
             recv = jax.lax.all_to_all(
@@ -382,12 +386,14 @@ def sharded_spmm(
             fwd = BSRMatrix(
                 tiles=ft[0], tile_rb=frb[0], tile_cb=fcb[0],
                 strips=fs[0], strip_rb=fsrb[0], strip_cb=fscb[0],
+                live=flv[0],
                 n_rows=sb.n_rows, n_cols=sb.n_cols,
                 tile_r=sb.tile_r, tile_c=sb.tile_c,
             )
             bwd = BSRMatrix(
                 tiles=bt[0], tile_rb=brb[0], tile_cb=bcb[0],
                 strips=bs_[0], strip_rb=bsrb[0], strip_cb=bscb[0],
+                live=blv[0],
                 n_rows=sb.n_cols, n_cols=sb.n_rows,
                 tile_r=sb.tile_r, tile_c=sb.tile_c,
             )
@@ -396,9 +402,9 @@ def sharded_spmm(
         args = (
             pg.send_map,
             sb.fwd_tiles, sb.fwd_tile_rb, sb.fwd_tile_cb,
-            sb.fwd_strips, sb.fwd_strip_rb, sb.fwd_strip_cb,
+            sb.fwd_strips, sb.fwd_strip_rb, sb.fwd_strip_cb, sb.fwd_live,
             sb.bwd_tiles, sb.bwd_tile_rb, sb.bwd_tile_cb,
-            sb.bwd_strips, sb.bwd_strip_rb, sb.bwd_strip_cb,
+            sb.bwd_strips, sb.bwd_strip_rb, sb.bwd_strip_cb, sb.bwd_live,
             x,
         )
         in_specs = (P(axis, None, None),) + tuple(

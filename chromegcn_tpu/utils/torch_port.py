@@ -100,6 +100,34 @@ def port_expecto(state: Mapping[str, np.ndarray], n_channels: int) -> Dict:
     return {"params": params, "batch_stats": stats}
 
 
+def port_deepsea(state: Mapping[str, np.ndarray], n_channels: int) -> Dict:
+    """Map a torch DeepSEA state_dict (reference models/WindowModels.py:89-156,
+    conv_net Sequential indices 0/4/8, no batch norms) into {params} for
+    models.window.DeepSEA. The post-conv flatten is channel-major in torch
+    and length-major here, so the first Dense ports via
+    flatten_dense_kernel (same as Expecto)."""
+
+    def g(key):
+        return np.asarray(state[key])
+
+    conv_names = {"conv1": "conv_net.0", "conv2": "conv_net.4", "conv3": "conv_net.8"}
+    params: Dict = {"embed": {"embedding": g("src_word_emb.weight")}}
+    for ours, theirs in conv_names.items():
+        params[ours] = {
+            "kernel": conv1d_kernel(g(theirs + ".weight")),
+            "bias": g(theirs + ".bias"),
+        }
+    params["linear"] = {
+        "kernel": flatten_dense_kernel(g("linear.weight"), 960, n_channels),
+        "bias": g("linear.bias"),
+    }
+    params["classifier"] = {
+        "kernel": dense_kernel(g("classifier.weight")),
+        "bias": g("classifier.bias"),
+    }
+    return {"params": params}
+
+
 def port_chromegcn(state: Mapping[str, np.ndarray], layers: int = 2) -> Dict:
     """Map a torch ChromeGCN state_dict (reference models/ChromeModels.py:21-52)
     into {params, batch_stats} for models.chrome.ChromeGCN.
@@ -150,6 +178,34 @@ def lstm_cell(
             "bias": bias[sl],
         }
     return out
+
+
+def port_chromernn(state: Mapping[str, np.ndarray], layers: int = 2) -> Dict:
+    """Map a torch ChromeRNN state_dict (reference models/ChromeModels.py:55-72:
+    bidirectional nfeat/2-hidden LSTM + BatchNorm1d + Linear head) into
+    {params, batch_stats} for models.chrome.ChromeRNN.
+
+    The flax cells are auto-named in declaration order per layer:
+    OptimizedLSTMCell_{2L} = forward layer L, _{2L+1} = backward layer L.
+    """
+
+    def g(key):
+        return np.asarray(state[key])
+
+    params: Dict = {}
+    for layer in range(layers):
+        for j, suffix in enumerate(("", "_reverse")):
+            params[f"OptimizedLSTMCell_{2 * layer + j}"] = lstm_cell(
+                g(f"lstm.weight_ih_l{layer}{suffix}"),
+                g(f"lstm.weight_hh_l{layer}{suffix}"),
+                g(f"lstm.bias_ih_l{layer}{suffix}"),
+                g(f"lstm.bias_hh_l{layer}{suffix}"),
+            )
+    frag = batchnorm({k: g(f"batch_norm.{k}") for k in
+                      ("weight", "bias", "running_mean", "running_var")})
+    params["batch_norm"] = frag["params"]
+    params["out"] = {"kernel": dense_kernel(g("out.weight")), "bias": g("out.bias")}
+    return {"params": params, "batch_stats": {"batch_norm": frag["batch_stats"]}}
 
 
 def port_danq(state: Mapping[str, np.ndarray]) -> Dict:

@@ -157,6 +157,52 @@ def test_chrome_rnn_shapes():
     np.testing.assert_array_equal(np.asarray(x_in), np.asarray(x))
 
 
+class TorchChromeRNN(torch_nn.Module):
+    """Reference ChromeRNN (models/ChromeModels.py:55-72) — independent
+    re-implementation for golden-parity testing: bidirectional nfeat/2-hidden
+    LSTM over the chromosome-as-one-sequence, ReLU, BatchNorm1d, Linear."""
+
+    def __init__(self, nfeat, nclass, layers):
+        super().__init__()
+        self.lstm = torch_nn.LSTM(
+            nfeat, nfeat // 2, num_layers=layers, dropout=0.5,
+            batch_first=True, bidirectional=True,
+        )
+        self.batch_norm = torch_nn.BatchNorm1d(nfeat)
+        self.out = torch_nn.Linear(nfeat, nclass)
+
+    def forward(self, x):
+        x, _ = self.lstm(x.unsqueeze(0))
+        x = torch.relu(x.squeeze(0))
+        x = self.batch_norm(x)
+        return self.out(x)
+
+
+def test_chromernn_golden_parity_vs_torch():
+    from chromegcn_tpu.models.chrome import ChromeRNN
+    from chromegcn_tpu.utils import torch_port
+
+    n, d, nclass, layers = 30, 16, 7, 2
+    tmodel = TorchChromeRNN(d, nclass, layers).eval()
+    rng = np.random.default_rng(13)
+    with torch.no_grad():
+        tmodel.batch_norm.running_mean.copy_(
+            torch.tensor(rng.normal(size=d).astype(np.float32)))
+        tmodel.batch_norm.running_var.copy_(
+            torch.tensor(rng.uniform(0.5, 2.0, size=d).astype(np.float32)))
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tmodel(torch.tensor(x))
+
+    state = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    variables = torch_port.port_chromernn(state, layers=layers)
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    jmodel = ChromeRNN(nfeat=d, nclass=nclass, dropout=0.0, layers=layers)
+    x_in, j_out, _ = jmodel.apply(variables, jnp.asarray(x), None, train=False)
+    np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(), rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(x_in), x)
+
+
 def test_chromegcn_strand_stacked_matches_per_strand():
     """(N, 2, d) stacked forward == two (N, d) forwards (eval mode)."""
     n, d = 32, 8

@@ -125,6 +125,56 @@ def test_expecto_train_mode_runs_and_updates_stats():
     assert not np.allclose(np.asarray(before), np.asarray(after))
 
 
+class TorchDeepSEA(torch_nn.Module):
+    """Published DeepSEA architecture (Zhou & Troyanskaya 2015), as specified
+    in the reference models/WindowModels.py:89-156 — independent
+    re-implementation for golden-parity testing. Includes the reference's
+    quirk: the classifier consumes the pre-ReLU feature vector."""
+
+    def __init__(self, nclass, seq_length):
+        super().__init__()
+        k, p = 8, 4
+        self.src_word_emb = torch_nn.Embedding(5, 5)
+        self.conv_net = torch_nn.Sequential(
+            torch_nn.Conv1d(5, 320, k), torch_nn.ReLU(),
+            torch_nn.MaxPool1d(p, p), torch_nn.Dropout(0.2),
+            torch_nn.Conv1d(320, 480, k), torch_nn.ReLU(),
+            torch_nn.MaxPool1d(p, p), torch_nn.Dropout(0.2),
+            torch_nn.Conv1d(480, 960, k), torch_nn.ReLU(), torch_nn.Dropout(0.5),
+        )
+        n = (seq_length - (k - 1)) // p
+        n = (n - (k - 1)) // p
+        self.n_channels = n - (k - 1)
+        self.linear = torch_nn.Linear(960 * self.n_channels, 128)
+        self.classifier = torch_nn.Linear(128, nclass)
+
+    def forward(self, x):
+        x = self.src_word_emb(x)
+        out = self.conv_net(x.permute(0, 2, 1))
+        x_feat = self.linear(out.reshape(out.size(0), -1))
+        return x_feat, self.classifier(x_feat)
+
+
+def test_deepsea_golden_parity_vs_torch():
+    rng = np.random.default_rng(5)
+    nclass = 9
+    tmodel = TorchDeepSEA(nclass, SEQ).eval()
+    toks = rng.integers(0, 5, size=(3, SEQ)).astype(np.int64)
+    with torch.no_grad():
+        t_feat, t_logits = tmodel(torch.tensor(toks))
+
+    state = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    variables = torch_port.port_deepsea(state, n_channels=tmodel.n_channels)
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    jmodel = DeepSEA(n_targets=nclass, seq_length=SEQ)
+    assert jmodel.n_channels == tmodel.n_channels
+    j_feat, j_logits = jmodel.apply(variables, jnp.asarray(toks), train=False)
+    np.testing.assert_allclose(np.asarray(j_feat), t_feat.numpy(), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(j_logits), t_logits.numpy(), rtol=1e-4, atol=1e-4
+    )
+
+
 class TorchDanQ(torch_nn.Module):
     """Published DanQ architecture (Quang & Xie 2015), as specified in the
     reference models/WindowModels.py:158-204 — independent re-implementation
