@@ -120,7 +120,10 @@ def plot_label_difference(
 ):
     """Per-label (refined - base) metric difference vs each label's
     degree weight, marker-coded by label type (TF / HM / DNase) and
-    color-coded by sign (reference scripts/analyze_results.py:97-177)."""
+    color-coded by sign (reference scripts/analyze_results.py:97-177).
+
+    ``degree_weights`` comes from analysis.results.label_degree_weights
+    (reference get_label_weights, analyze_results.py:226-267)."""
     plt = _fig()
     base = np.asarray(base, float)
     refined = np.asarray(refined, float)

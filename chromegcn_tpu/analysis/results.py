@@ -99,6 +99,48 @@ def compare_runs(
     return report
 
 
+def label_degree_weights(
+    chrom_graphs: Sequence,
+    chrom_targets: Sequence[np.ndarray],
+) -> np.ndarray:
+    """Per-label average node degree — the x-axis of the Δ-vs-degree plot.
+
+    For each label ℓ: mean over all (chromosome, node) pairs carrying ℓ of
+    that node's degree in its chromosome graph. Reproduces reference
+    scripts/analyze_results.py:226-267 (get_label_weights), including its
+    clamp semantics: adjacency entries above 1 are clamped to 1 but
+    fractional entries contribute as-is (analyze_results.py:256-257
+    ``chrom_adj_d[chrom_adj_d>1] = 1`` then row .sum()).
+
+    Args:
+      chrom_graphs: per-chromosome ops.sparse.SparseGraph (or any object
+        with senders/receivers/vals/n_edges/n_nodes).
+      chrom_targets: per-chromosome (n_i, n_labels) 0/1 arrays aligned to
+        nodes 0..n_i-1 of the matching graph (n_i <= graph.n_nodes; the
+        padded tail carries no targets).
+
+    Returns: (n_labels,) float array; NaN for labels with no positive node
+    (reference: 0/0 division).
+    """
+    if len(chrom_graphs) != len(chrom_targets):
+        raise ValueError("need one target array per chromosome graph")
+    n_labels = np.asarray(chrom_targets[0]).shape[1]
+    neighbor_count = np.zeros(n_labels, np.float64)
+    label_count = np.zeros(n_labels, np.float64)
+    for graph, targets in zip(chrom_graphs, chrom_targets):
+        targets = np.asarray(targets)
+        n_edges = int(graph.n_edges)
+        receivers = np.asarray(graph.receivers)[:n_edges]
+        vals = np.minimum(np.asarray(graph.vals)[:n_edges], 1.0)
+        deg = np.zeros(graph.n_nodes, np.float64)
+        np.add.at(deg, receivers, vals)
+        pos = targets > 0
+        neighbor_count += pos.T @ deg[: targets.shape[0]]
+        label_count += pos.sum(axis=0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return (neighbor_count / label_count).astype(np.float32)
+
+
 def write_per_label_csv(
     path: str,
     preds: np.ndarray,

@@ -70,6 +70,11 @@ class Config:
     hicsize: str = "500000"        # 125000 | 250000 | 500000 | 1000000
     spmm_impl: str = "auto"
     spmm_dtype: str = "float32"  # float32 (parity) | bfloat16 (fast)
+    # f32-faithful GEMMs/convs by default: TPU's DEFAULT matmul precision is
+    # one bf16 pass, which diverges ~1e-2 from the reference's f32 cuBLAS at
+    # chromosome scale (measured — parity_chr.py caught it); 'highest'
+    # restores per-layer allclose. Set 'default' for bf16 fast mode.
+    matmul_precision: str = "highest"  # highest (parity) | default (fast bf16)
 
     # modes
     pretrain: bool = False

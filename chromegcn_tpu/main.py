@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-seed", type=int, default=defaults.seed)
     p.add_argument("-spmm_impl", choices=["auto", "xla", "pallas"], default="auto")
     p.add_argument("-spmm_dtype", choices=["float32", "bfloat16"], default="float32")
+    p.add_argument(
+        "-matmul_precision", choices=["highest", "default"],
+        default=defaults.matmul_precision,
+    )
     p.add_argument("-use_stage2_hparams", action="store_true")
     p.add_argument("-dp_devices", type=int, default=1)
     p.add_argument("-graph_devices", type=int, default=1)

@@ -295,8 +295,8 @@ def _bsr_matmul(m: BSRMatrix, x: jax.Array) -> jax.Array:
         raise NotImplementedError(
             f"operand too large for VMEM-resident SpMM "
             f"(rows={m.n_rows}, cols={m.n_cols}, d={d}); build with "
-            "bsr_from_graph (auto-panels oversized graphs) or shard the "
-            "graph across devices (parallel.graph)"
+            "attach_bsr/bsr_panels_from_graph (auto-panels oversized "
+            "graphs) or shard the graph across devices (parallel.graph)"
         )
 
     fast = m.tiles.dtype == jnp.bfloat16

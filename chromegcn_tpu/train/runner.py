@@ -457,8 +457,24 @@ def run_finetune(cfg: Config, verbose=print):
     return state, tracker
 
 
+def apply_matmul_precision(cfg: Config) -> None:
+    """Set the process-wide matmul precision from config.
+
+    'highest' (default) makes every jnp.dot / flax Dense / conv f32-faithful
+    — on TPU the DEFAULT precision is a single bf16 pass, which diverges
+    ~1e-2 from the reference's f32 cuBLAS/cuDNN at chromosome scale
+    (measured by parity_chr.py; the Pallas SpMM always runs HIGHEST
+    internally for the same reason). 'default' opts into bf16 fast mode.
+    """
+    jax.config.update(
+        "jax_default_matmul_precision",
+        {"highest": "highest", "default": None}[cfg.matmul_precision],
+    )
+
+
 def run(cfg: Config, splits: Optional[Dict[str, WindowDataset]] = None, verbose=print):
     """Top-level dispatch (reference: main.py:20-115 + runner.py:25-63)."""
+    apply_matmul_precision(cfg)
     if getattr(cfg, "joint", False):
         return run_joint(cfg, splits, verbose=verbose)
     if cfg.pretrain or cfg.save_feats:
