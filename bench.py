@@ -185,6 +185,7 @@ def main():
                     "n_nodes": N_PAD,
                     "n_edges": n_edges,
                     "edge_pass_convention": "fwd+bwd counted as 2 passes per layer per strand",
+                    "matmul_precision": "highest (f32-faithful parity mode; see DESIGN.md §6)",
                     "roofline": roofline,
                     "backend": jax.default_backend(),
                 },

@@ -55,8 +55,15 @@ static inline int64_t parse_ll(const char** p) {
 // norm may be null (no normalization). bins must be sorted ascending.
 // Zero/NaN norm entries mean "discard" (reference maps them to +inf:
 // data/7create_graph_new.py:62-63).
+// min_dist_bp: genomic-distance floor applied DURING streaming, before
+// top-k selection — the old graph builder's min_distance_threshold
+// (reference: data/7create_graph_old.py:166 `abs(pos1-pos2) >=`; the
+// "min1000" in its artifact names). 0 disables. max_dist_bp: optional
+// ceiling (this framework's extension, <=0 disables) — also pre-top-k so
+// a capped graph selects its k best among qualifying contacts.
 int64_t hic_topk(const char* path, const double* norm, int64_t norm_len,
-                 int64_t resolution_bp, const int64_t* bins, int64_t n_bins,
+                 int64_t resolution_bp, int64_t min_dist_bp,
+                 int64_t max_dist_bp, const int64_t* bins, int64_t n_bins,
                  int64_t k, int64_t* out_bin1, int64_t* out_bin2,
                  double* out_val) {
   FILE* f = fopen(path, "r");
@@ -95,6 +102,9 @@ int64_t hic_topk(const char* path, const double* norm, int64_t norm_len,
       while (*q == ' ' || *q == '\t') q++;
       double v = strtod(q, nullptr);
 
+      int64_t dist = b1 > b2 ? b1 - b2 : b2 - b1;
+      if (dist < min_dist_bp) goto next_line;
+      if (max_dist_bp > 0 && dist > max_dist_bp) goto next_line;
       if (b1 != b2 && bin_set.count(b1) && bin_set.count(b2)) {
         if (norm) {
           int64_t i1 = b1 / resolution_bp;

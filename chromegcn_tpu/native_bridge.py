@@ -26,7 +26,9 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib, _build_attempted
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and not _build_attempted:
+    if not _build_attempted:
+        # always run make once per process: a no-op when fresh, but rebuilds
+        # a stale .so whose C signature no longer matches this bridge
         _build_attempted = True
         try:
             subprocess.run(
@@ -34,7 +36,8 @@ def _load() -> Optional[ctypes.CDLL]:
                 check=True, capture_output=True, timeout=120,
             )
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
@@ -43,6 +46,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.hic_topk.restype = ctypes.c_int64
     lib.hic_topk.argtypes = [
         ctypes.c_char_p, f64p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
         i64p, ctypes.c_int64, ctypes.c_int64, i64p, i64p, f64p,
     ]
     lib.intersect_fraction.restype = ctypes.c_int64
@@ -68,6 +72,8 @@ def hic_topk(
     k: int,
     norm: Optional[np.ndarray] = None,
     resolution_bp: int = 1000,
+    min_dist_bp: int = 0,
+    max_dist_bp: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Top-k normalized Hi-C contacts among ``bins`` from a RAWobserved file.
 
@@ -76,6 +82,13 @@ def hic_topk(
     (reference: data/7create_graph_new.py:66-116): self-contacts skipped,
     both endpoints must be peak-window bins, normalization divides by
     norm[bin/resolution] with 0/NaN meaning "discard".
+
+    min_dist_bp/max_dist_bp filter by genomic distance DURING streaming —
+    before top-k selection, so the k best contacts are chosen among the
+    qualifying ones. min_dist_bp reproduces the old graph builder's
+    min_distance_threshold (reference: data/7create_graph_old.py:166, the
+    "min1000" in its artifact names); max_dist_bp is this framework's
+    extension (None disables).
     """
     bins = np.unique(_as_i64(bins))
     lib = _load()
@@ -91,6 +104,7 @@ def hic_topk(
             norm_len = len(norm)
         n = lib.hic_topk(
             path.encode(), normp, norm_len, resolution_bp,
+            min_dist_bp, 0 if max_dist_bp is None else max_dist_bp,
             bins.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(bins), k,
             out1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             out2.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -98,10 +112,12 @@ def hic_topk(
         )
         if n >= 0:
             return out1[:n], out2[:n], outv[:n]
-    return _hic_topk_numpy(path, bins, k, norm, resolution_bp)
+    return _hic_topk_numpy(path, bins, k, norm, resolution_bp,
+                           min_dist_bp, max_dist_bp)
 
 
-def _hic_topk_numpy(path, bins, k, norm, resolution_bp):
+def _hic_topk_numpy(path, bins, k, norm, resolution_bp,
+                    min_dist_bp=0, max_dist_bp=None):
     """Chunked numpy fallback (slower but exact)."""
     bin_set = set(int(b) for b in bins)
     best1, best2, bestv = [], [], []
@@ -129,6 +145,9 @@ def _hic_topk_numpy(path, bins, k, norm, resolution_bp):
             if len(parts) < 3:
                 continue
             b1, b2 = int(parts[0]), int(parts[1])
+            dist = abs(b1 - b2)
+            if dist < min_dist_bp or (max_dist_bp is not None and dist > max_dist_bp):
+                continue
             if b1 == b2 or b1 not in bin_set or b2 not in bin_set:
                 continue
             v = float(parts[2])

@@ -31,6 +31,11 @@ def main(argv=None) -> None:
     p.add_argument("--resolution", type=int, default=1000, help="Hi-C bin size (bp)")
     p.add_argument("--upsample-5kb", action="store_true",
                    help="replicate 5kb Hi-C contacts onto the 1kb grid (K562 flow)")
+    p.add_argument("--min-dist", type=int, default=0,
+                   help="genomic-distance floor (bp) applied before top-k "
+                        "(old graph builder's min_distance_threshold)")
+    p.add_argument("--max-dist", type=int, default=None,
+                   help="genomic-distance ceiling (bp), pre-top-k (extension)")
     args = p.parse_args(argv)
 
     from chromegcn_tpu.pipeline.build import build_dataset, build_hic_graphs
@@ -45,6 +50,7 @@ def main(argv=None) -> None:
             splits, args.hic, args.out,
             hicsize=args.hicsize, hicnorm=args.hicnorm,
             resolution_bp=args.resolution, upsample_5kb=args.upsample_5kb,
+            min_dist_bp=args.min_dist, max_dist_bp=args.max_dist,
         )
 
 

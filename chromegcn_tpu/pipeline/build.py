@@ -142,6 +142,8 @@ def build_hic_graphs(
     hicnorm: str = "SQRTVC",
     resolution_bp: int = 1000,
     upsample_5kb: bool = False,
+    min_dist_bp: int = 0,
+    max_dist_bp=None,
     verbose=print,
 ) -> None:
     """Build per-split Hi-C graph artifacts from RAWobserved dumps.
@@ -191,7 +193,8 @@ def build_hic_graphs(
                 raw = up
             s, r, v = hic.chrom_topk_edges(
                 raw, starts, n_pairs, norm_path=norm_path,
-                resolution_bp=resolution_bp,
+                resolution_bp=resolution_bp, min_dist_bp=min_dist_bp,
+                max_dist_bp=max_dist_bp,
             )
             per_chrom[chrom] = (s, r, v)
             verbose(f"{split}/{chrom}: {len(s)} directed contact edges")

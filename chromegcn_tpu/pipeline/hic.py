@@ -47,6 +47,7 @@ def chrom_topk_edges(
     n_pairs: int,
     norm_path: Optional[str] = None,
     resolution_bp: int = 1000,
+    min_dist_bp: int = 0,
     max_dist_bp: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Top-k contact pairs for one chromosome as window-index COO.
@@ -58,8 +59,13 @@ def chrom_topk_edges(
       n_pairs: number of undirected pairs to keep (= hicsize / 2,
         reference: data/7create_graph_new.py:168).
       norm_path: optional normalization vector file.
-      max_dist_bp: optional genomic-distance cutoff (the reference's older
-        graph builder thresholds by distance — data/7create_graph_old.py).
+      min_dist_bp: genomic-distance floor, applied while streaming (BEFORE
+        top-k selection) — the old graph builder's min_distance_threshold
+        (reference: data/7create_graph_old.py:166 ``abs(pos1-pos2) >=``;
+        the "min1000" in its artifact names). 0 disables.
+      max_dist_bp: optional distance ceiling, also pre-top-k. This is a
+        framework extension (the reference has no max cutoff); a capped
+        graph selects its k best among qualifying contacts.
 
     Returns (senders, receivers, vals): symmetric directed COO over window
     indices with binary values (reference: create_adj_mat sets 1 both ways,
@@ -68,13 +74,10 @@ def chrom_topk_edges(
     window_starts = np.asarray(window_starts, dtype=np.int64)
     norm = read_norm_vector(norm_path) if norm_path else None
     b1, b2, _vals = native_bridge.hic_topk(
-        raw_path, window_starts, n_pairs, norm=norm, resolution_bp=resolution_bp
+        raw_path, window_starts, n_pairs, norm=norm,
+        resolution_bp=resolution_bp, min_dist_bp=min_dist_bp,
+        max_dist_bp=max_dist_bp,
     )
-    if max_dist_bp is not None:
-        # distance-thresholded variant (reference: data/7create_graph_old.py
-        # keeps contacts within a genomic distance)
-        keep = np.abs(b1 - b2) <= max_dist_bp
-        b1, b2 = b1[keep], b2[keep]
     idx = {int(s): i for i, s in enumerate(window_starts)}
     i1 = np.asarray([idx[int(b)] for b in b1], dtype=np.int32)
     i2 = np.asarray([idx[int(b)] for b in b2], dtype=np.int32)

@@ -170,3 +170,29 @@ def test_artifact_preserves_long_chrom_names(tmp_path):
     artifact.save_dataset(path, {"train": ds})
     loaded = artifact.load_dataset(path)
     assert loaded["train"].chroms[0] == name
+
+
+def test_min_dist_filter_is_pre_topk(tmp_path):
+    """The old builder's min_distance_threshold applies while STREAMING —
+    before top-k — so the k best are chosen among qualifying contacts
+    (reference: data/7create_graph_old.py:166). A post-selection filter
+    would instead pick the close high-value contact and then drop it."""
+    raw = tmp_path / "c.RAWobserved"
+    raw.write_text("0\t1000\t50.0\n0\t9000\t10.0\n")
+    bins = np.array([0, 1000, 9000])
+    for fn in (native_bridge.hic_topk, native_bridge._hic_topk_numpy):
+        b1, b2, v = fn(str(raw), bins, 1, None, 1000, min_dist_bp=2000)
+        assert (b1.tolist(), b2.tolist()) == ([0], [9000]), fn.__name__
+        np.testing.assert_allclose(v, [10.0])
+        # floor inclusive: dist == min_dist_bp survives
+        b1, b2, v = fn(str(raw), bins, 2, None, 1000, min_dist_bp=1000)
+        assert len(b1) == 2, fn.__name__
+
+
+def test_max_dist_filter_is_pre_topk(tmp_path):
+    raw = tmp_path / "c.RAWobserved"
+    raw.write_text("0\t9000\t50.0\n0\t1000\t10.0\n")
+    bins = np.array([0, 1000, 9000])
+    for fn in (native_bridge.hic_topk, native_bridge._hic_topk_numpy):
+        b1, b2, v = fn(str(raw), bins, 1, None, 1000, max_dist_bp=2000)
+        assert (b1.tolist(), b2.tolist()) == ([0], [1000]), fn.__name__
