@@ -51,11 +51,11 @@ def build():
     return graph, x_f, x_r, targets
 
 
-def bench_impl(impl: str, graph, x_f, x_r, targets, iters=20, precision="highest"):
-    """precision='highest' is the production default (f32-faithful GEMMs —
-    config.matmul_precision; parity_chr.py measured TPU's bf16 DEFAULT at
-    ~1e-2 divergence vs the torch oracle at this scale). 'default' is the
-    bf16 fast mode, reported in detail only."""
+def bench_impl(impl: str, graph, x_f, x_r, targets, iters=20, precision="high"):
+    """precision='high' (bf16x3) is the production default: f32-faithful
+    GEMMs (config.matmul_precision — parity_chr.py measures worst 7.7e-5
+    vs the torch oracle at this scale, where TPU's bf16 DEFAULT diverges
+    ~1e-2). 'default' is the bf16 fast mode, reported in detail only."""
     import contextlib
 
     ctx = (
@@ -185,7 +185,7 @@ def main():
                     "n_nodes": N_PAD,
                     "n_edges": n_edges,
                     "edge_pass_convention": "fwd+bwd counted as 2 passes per layer per strand",
-                    "matmul_precision": "highest (f32-faithful parity mode; see DESIGN.md §6)",
+                    "matmul_precision": "high (bf16x3, f32-faithful parity mode; see DESIGN.md §6)",
                     "roofline": roofline,
                     "backend": jax.default_backend(),
                 },

@@ -72,9 +72,11 @@ class Config:
     spmm_dtype: str = "float32"  # float32 (parity) | bfloat16 (fast)
     # f32-faithful GEMMs/convs by default: TPU's DEFAULT matmul precision is
     # one bf16 pass, which diverges ~1e-2 from the reference's f32 cuBLAS at
-    # chromosome scale (measured — parity_chr.py caught it); 'highest'
-    # restores per-layer allclose. Set 'default' for bf16 fast mode.
-    matmul_precision: str = "highest"  # highest (parity) | default (fast bf16)
+    # chromosome scale (measured — parity_chr.py caught it). 'high' (bf16x3)
+    # restores per-layer allclose (worst 7.7e-5 at chr scale, vs 7.3e-5 for
+    # 'highest'/bf16x6) at ~half the GEMM cost — measured step 9.0 ms vs
+    # 10.4 ms. Set 'default' for bf16 fast mode (non-parity).
+    matmul_precision: str = "high"  # high (parity) | highest | default (fast)
 
     # modes
     pretrain: bool = False

@@ -81,7 +81,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-spmm_impl", choices=["auto", "xla", "pallas"], default="auto")
     p.add_argument("-spmm_dtype", choices=["float32", "bfloat16"], default="float32")
     p.add_argument(
-        "-matmul_precision", choices=["highest", "default"],
+        "-matmul_precision", choices=["high", "highest", "default"],
         default=defaults.matmul_precision,
     )
     p.add_argument("-use_stage2_hparams", action="store_true")

@@ -460,15 +460,19 @@ def run_finetune(cfg: Config, verbose=print):
 def apply_matmul_precision(cfg: Config) -> None:
     """Set the process-wide matmul precision from config.
 
-    'highest' (default) makes every jnp.dot / flax Dense / conv f32-faithful
-    — on TPU the DEFAULT precision is a single bf16 pass, which diverges
-    ~1e-2 from the reference's f32 cuBLAS/cuDNN at chromosome scale
-    (measured by parity_chr.py; the Pallas SpMM always runs HIGHEST
-    internally for the same reason). 'default' opts into bf16 fast mode.
+    'high' (default, bf16x3) makes every jnp.dot / flax Dense / conv
+    f32-faithful — on TPU the DEFAULT precision is a single bf16 pass,
+    which diverges ~1e-2 from the reference's f32 cuBLAS/cuDNN at
+    chromosome scale, while bf16x3 lands at 7.7e-5, indistinguishable
+    from bf16x6 ('highest', 7.3e-5) at ~half the GEMM cost (measured by
+    parity_chr.py; the Pallas SpMM runs HIGHEST internally either way).
+    'default' opts into bf16 fast mode (non-parity).
     """
     jax.config.update(
         "jax_default_matmul_precision",
-        {"highest": "highest", "default": None}[cfg.matmul_precision],
+        {"high": "high", "highest": "highest", "default": None}[
+            cfg.matmul_precision
+        ],
     )
 
 

@@ -105,6 +105,7 @@ def framework_chromegcn_acts(
     impl: str,
     d: int,
     nclass: int,
+    precision: str = "high",
 ) -> Dict[str, np.ndarray]:
     """Run models.chrome.ChromeGCN with the ported checkpoint and capture
     the same per-layer activations via flax intermediates."""
@@ -120,10 +121,11 @@ def framework_chromegcn_acts(
     model = ChromeGCN(
         nfeat=d, nhid=d, nclass=nclass, dropout=0.0, layers=2, spmm_impl=impl
     )
-    # the production default (config.matmul_precision='highest'): TPU's
-    # DEFAULT precision is one bf16 pass and diverges ~1e-2 from the f32
-    # torch oracle at chromosome scale — this harness is what caught that
-    with jax.default_matmul_precision("highest"):
+    # default 'high' (bf16x3) is the production default
+    # (config.matmul_precision): TPU's DEFAULT precision is one bf16 pass
+    # and diverges ~1e-2 from the f32 torch oracle at chromosome scale —
+    # this harness is what caught that; bf16x3 restores 7.7e-5
+    with jax.default_matmul_precision(precision):
         (_, logits, _), inter = model.apply(
             variables,
             jnp.asarray(x),
@@ -148,6 +150,7 @@ def chromegcn_chr_parity(
     nclass: int = 919,
     impls: Sequence[str] = ("xla", "pallas"),
     seed: int = 0,
+    precision: str = "high",
 ) -> Dict[str, Dict[str, float]]:
     """Build a chr-scale graph + checkpoint, run oracle and framework paths,
     return {impl: {layer: max_abs_err}} on the valid rows."""
@@ -176,7 +179,8 @@ def chromegcn_chr_parity(
     report: Dict[str, Dict[str, float]] = {}
     for impl in impls:
         g = attach_bsr(graph) if impl == "pallas" else graph
-        acts = framework_chromegcn_acts(state, g, x, impl, d, nclass)
+        acts = framework_chromegcn_acts(state, g, x, impl, d, nclass,
+                                        precision=precision)
         report[impl] = {
             name: float(
                 np.max(np.abs(acts[name][:n_valid] - oracle[name][:n_valid]))

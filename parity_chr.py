@@ -27,12 +27,14 @@ def main():
 
     from chromegcn_tpu.utils.parity import chromegcn_chr_parity
 
-    report = chromegcn_chr_parity(N_VALID, N_PAD, N_PAIRS)
+    precision = os.environ.get("CHROMEGCN_PARITY_PRECISION", "high")
+    report = chromegcn_chr_parity(N_VALID, N_PAD, N_PAIRS, precision=precision)
     worst = max(err for per in report.values() for err in per.values())
     print(
         json.dumps(
             {
                 "check": "chr-scale per-layer parity vs torch.sparse oracle",
+                "matmul_precision": precision,
                 "n_valid": N_VALID,
                 "backend": jax.default_backend(),
                 "max_abs_err": report,
