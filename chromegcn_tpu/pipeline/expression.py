@@ -6,8 +6,9 @@ Replaces the reference's auxiliary label pipelines:
 - eQTL expression thresholding (mean/median across samples) and TSS
   annotation for the HCASMC dataset (reference: data/eqtl_data/
   eqtl_process{_mean,_median}.py, eQTL_hg19Encode_TSS_annotation.py)
-- HiChIP contact extraction reuses the streaming top-k path
-  (reference: data/eqtl_data/HiChIP.py)
+- HiChIP contact extraction lives in pipeline/hichip.py (allValidPairs
+  reader -> per-chrom 1kb contacts; reference: data/eqtl_data/HiChIP.py),
+  whose binned output feeds the same top-k graph construction as Hi-C
 """
 
 from __future__ import annotations
