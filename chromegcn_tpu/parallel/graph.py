@@ -18,14 +18,17 @@ Three exchange strategies:
   for diagonal-dominant Hi-C graphs the halo is a thin boundary band, so
   H_max << N and the exchange rides ICI at a fraction of the all_gather
   cost.
-- ``halo_bsr``: the same halo exchange feeding a per-shard *Pallas BSR*
-  matmul (ops/spmm_pallas.py) instead of gather+segment-sum. At partition
-  time each shard's edges are re-keyed into (local row, read-buffer column)
-  coordinates — buffer = [x_local ; halo] — and converted to a rectangular
-  block-sparse operator (rows_per_shard x (rows + S*H)). This composes the
-  measured-fast kernel with the exchange — every device computes at
-  single-chip BSR speed (the plain gather/segment-sum shard compute is the
-  measured 5-6x-slower path, DESIGN.md SS1/SS4).
+- ``halo_bsr``: the same halo exchange feeding per-shard *Pallas BSR*
+  matmuls (ops/spmm_pallas.py) instead of gather+segment-sum, SPLIT into
+  ``A_local @ x_local + A_halo @ halo``. The local matmul
+  (rows_per_shard x rows_per_shard) has no data dependency on the
+  all_to_all, so XLA's async collectives overlap the exchange with the
+  bulk of the compute (diagonal-dominant Hi-C graphs put most edges in
+  A_local); the halo matmul (rows_per_shard x S*H) consumes the received
+  rows. This composes the measured-fast kernel with the exchange — every
+  device computes at single-chip BSR speed (the plain gather/segment-sum
+  shard compute is the measured 5-6x-slower path, DESIGN.md SS1/SS4) —
+  and hides the halo latency whenever t(local matmul) >= t(exchange).
 
 All are exact: ``sharded_spmm(partition(g), x) == spmm(g, x)`` (tested in
 tests/test_partition.py).
@@ -45,41 +48,51 @@ from chromegcn_tpu.ops.sparse import SparseGraph
 
 
 @struct.dataclass
+class ShardedBSRMats:
+    """Stacked per-shard block arrays for one matmul direction (leading
+    axis S). Tile/strip counts are padded to the max across shards so every
+    device runs one identical kernel (pad blocks sit at (0,0) with zero
+    values — exact no-ops under the kernel's `+=`; the per-shard ``live``
+    counts let the kernel's pipeline elide their DMA entirely)."""
+
+    tiles: jax.Array     # (S, nt, tile_r, tile_c)
+    tile_rb: jax.Array   # (S, nt) int32
+    tile_cb: jax.Array   # (S, nt) int32
+    strips: jax.Array    # (S, ns, 8, tile_c)
+    strip_rb: jax.Array  # (S, ns) int32
+    strip_cb: jax.Array  # (S, ns) int32
+    live: jax.Array      # (S, 2) int32 live (tile, strip) grid steps
+
+
+@struct.dataclass
 class ShardedBSR:
-    """Device-stacked per-shard rectangular BSR operators (leading axis S).
+    """Device-stacked per-shard rectangular BSR operators, SPLIT into a
+    local and a halo matmul so the exchange overlaps with compute.
 
-    Shard s's forward operator is (rows_per_shard x (rows + S*H)): local
-    output rows by read-buffer columns, where the buffer is
-    [x_local (rows) ; halo (S owner-blocks of H rows from the all_to_all)].
-    Local-sender edges land in the first ``rows`` columns (no exchange);
-    remote edges in the halo block. ``bwd_*`` is the per-shard transpose
-    ((rows + S*H) x rows_per_shard) consumed by the SpMM custom VJP —
-    d(buffer) = A_s^T g splits into d(x_local) plus d(halo), the latter
-    flowing back through the all_to_all to the owners.
-
-    Tile/strip counts are padded to the max across shards so every device
-    runs one identical kernel (pad blocks sit at (0,0) with zero values —
-    exact no-ops under the kernel's `+=`).
+    Shard s's SpMM is ``out = A_local @ x_local + A_halo @ halo`` where
+    - ``fwd_local`` is (rows x rows): edges whose sender lives on this
+      shard. This matmul has NO data dependency on the all_to_all, so
+      XLA's async collectives run the exchange underneath it —
+      compute/comm overlap for free from the dependency structure
+      (SURVEY §7 "halo exchange overlap" hard part). On diagonal-dominant
+      Hi-C graphs this is the bulk of the work, so the halo latency is
+      fully hidden whenever t(local matmul) >= t(exchange).
+    - ``fwd_halo`` is (rows x S*H): edges with remote senders, columns in
+      halo-buffer coordinates (owner-blocks of H rows from the
+      all_to_all).
+    ``bwd_*`` are the per-shard transposes consumed by the SpMM custom
+    VJP: d(x_local) = A_local^T g (plus the scattered d(send_buf)), and
+    d(halo) = A_halo^T g flows back through the all_to_all to the owners.
     """
 
-    fwd_tiles: jax.Array     # (S, nt, tile_r, tile_c)
-    fwd_tile_rb: jax.Array   # (S, nt) int32
-    fwd_tile_cb: jax.Array   # (S, nt) int32
-    fwd_strips: jax.Array    # (S, ns, 8, tile_c)
-    fwd_strip_rb: jax.Array  # (S, ns) int32
-    fwd_strip_cb: jax.Array  # (S, ns) int32
-    fwd_live: jax.Array      # (S, 2) int32 live (tile, strip) grid steps
-    bwd_tiles: jax.Array
-    bwd_tile_rb: jax.Array
-    bwd_tile_cb: jax.Array
-    bwd_strips: jax.Array
-    bwd_strip_rb: jax.Array
-    bwd_strip_cb: jax.Array
-    bwd_live: jax.Array
+    fwd_local: ShardedBSRMats  # rows x rows
+    fwd_halo: ShardedBSRMats   # rows x (S*H)
+    bwd_local: ShardedBSRMats  # rows x rows (transpose of fwd_local)
+    bwd_halo: ShardedBSRMats   # (S*H) x rows (transpose of fwd_halo)
     tile_r: int = struct.field(pytree_node=False)
     tile_c: int = struct.field(pytree_node=False)
-    n_rows: int = struct.field(pytree_node=False)  # rows_per_shard
-    n_cols: int = struct.field(pytree_node=False)  # rows + S * halo_width
+    n_rows: int = struct.field(pytree_node=False)    # rows_per_shard
+    halo_cols: int = struct.field(pytree_node=False)  # S * halo_width
 
 
 @struct.dataclass
@@ -228,13 +241,17 @@ def attach_shard_bsr(
     min_edges_per_tile: "int | str" = "auto",
     dtype: str = "float32",
 ) -> PartitionedGraph:
-    """Build per-shard rectangular BSR operators in read-buffer coordinates.
+    """Build per-shard rectangular BSR operators, split local/halo.
 
     Each shard's edge set, already re-keyed to (local row, buffer column) by
-    ``partition_graph``, is converted with the same host-side tiling the
-    single-device kernel uses (ops/spmm_pallas._build_one_direction), then
-    stacked along a leading shard axis with tile/strip counts padded to the
-    max across shards (one compiled kernel for all devices).
+    ``partition_graph``, is split on sender locality — local senders
+    (column < rows) form the (rows x rows) local operator, remote senders
+    the (rows x S*H) halo operator in halo-buffer coordinates — and each
+    half is converted with the same host-side tiling the single-device
+    kernel uses (ops/spmm_pallas._build_one_direction), then stacked along
+    a leading shard axis with tile/strip counts padded to the max across
+    shards (one compiled kernel for all devices). The split is what lets
+    the all_to_all overlap the local matmul (see ShardedBSR docstring).
     """
     from chromegcn_tpu.ops.spmm_pallas import (
         TILE,
@@ -247,65 +264,66 @@ def attach_shard_bsr(
     tile = TILE if tile is None else tile
     tile_c = TILE_C if tile_c is None else tile_c
     rows = pg.rows_per_shard
-    # per-shard read buffer = [x_local (rows) ; halo (S*H)]
-    buf_cols = rows + pg.n_shards * pg.halo_width
-    if rows % tile or rows % tile_c or buf_cols % tile_c or buf_cols % tile:
+    halo_cols = pg.n_shards * pg.halo_width
+    if rows % tile or rows % tile_c or halo_cols % tile_c or halo_cols % tile:
         raise ValueError(
-            f"rows_per_shard={rows} and buffer={buf_cols} must be multiples "
-            f"of tile={tile} and tile_c={tile_c}"
+            f"rows_per_shard={rows} and halo block={halo_cols} must be "
+            f"multiples of tile={tile} and tile_c={tile_c}"
         )
     np_dtype = {"float32": np.float32, "bfloat16": jnp.bfloat16}[dtype]
 
     cols_h = np.asarray(pg.senders_halo)
     rows_l = np.asarray(pg.receivers_local)
     vals = np.asarray(pg.vals)
-    fwd, bwd = [], []
+    fwd_l, fwd_h, bwd_l, bwd_h = [], [], [], []
     for s in range(pg.n_shards):
         live = vals[s] != 0.0  # padding edges carry val 0 (exact no-ops)
         c, r, v = cols_h[s][live], rows_l[s][live], vals[s][live]
-        fwd.append(
-            _build_one_direction(
-                c, r, v, n_rows=rows, tile_r=tile, tile_c=tile_c,
-                min_edges_per_tile=min_edges_per_tile, dtype=np_dtype,
-                n_cols=buf_cols,
-            )
-        )
-        bwd.append(
-            _build_one_direction(
-                r, c, v, n_rows=buf_cols, tile_r=tile, tile_c=tile_c,
-                min_edges_per_tile=min_edges_per_tile, dtype=np_dtype,
-                n_cols=rows,
-            )
-        )
+        loc = c < rows
+        cl, rl, vl = c[loc], r[loc], v[loc]
+        ch, rh, vh = c[~loc] - rows, r[~loc], v[~loc]
 
-    def stack(mats, field):
-        arrs = [np.asarray(getattr(m, field)) for m in mats]
-        n_max = max(a.shape[0] for a in arrs)
-        out = np.zeros((len(arrs), n_max) + arrs[0].shape[1:], arrs[0].dtype)
-        for i, a in enumerate(arrs):
-            out[i, : a.shape[0]] = a
-        return jnp.asarray(out)
+        def build(src, dst, val, n_rows, n_cols):
+            return _build_one_direction(
+                src, dst, val, n_rows=n_rows, tile_r=tile, tile_c=tile_c,
+                min_edges_per_tile=min_edges_per_tile, dtype=np_dtype,
+                n_cols=n_cols,
+            )
+
+        fwd_l.append(build(cl, rl, vl, rows, rows))
+        fwd_h.append(build(ch, rh, vh, rows, halo_cols))
+        bwd_l.append(build(rl, cl, vl, rows, rows))
+        bwd_h.append(build(rh, ch, vh, halo_cols, rows))
+
+    def stack_mats(mats) -> ShardedBSRMats:
+        def stack(field):
+            arrs = [np.asarray(getattr(m, field)) for m in mats]
+            n_max = max(a.shape[0] for a in arrs)
+            out = np.zeros((len(arrs), n_max) + arrs[0].shape[1:], arrs[0].dtype)
+            for i, a in enumerate(arrs):
+                out[i, : a.shape[0]] = a
+            return jnp.asarray(out)
+
+        return ShardedBSRMats(
+            tiles=stack("tiles"),
+            tile_rb=stack("tile_rb"),
+            tile_cb=stack("tile_cb"),
+            strips=stack("strips"),
+            strip_rb=stack("strip_rb"),
+            strip_cb=stack("strip_cb"),
+            live=stack("live"),
+        )
 
     return pg.replace(
         bsr=ShardedBSR(
-            fwd_tiles=stack(fwd, "tiles"),
-            fwd_tile_rb=stack(fwd, "tile_rb"),
-            fwd_tile_cb=stack(fwd, "tile_cb"),
-            fwd_strips=stack(fwd, "strips"),
-            fwd_strip_rb=stack(fwd, "strip_rb"),
-            fwd_strip_cb=stack(fwd, "strip_cb"),
-            fwd_live=stack(fwd, "live"),
-            bwd_tiles=stack(bwd, "tiles"),
-            bwd_tile_rb=stack(bwd, "tile_rb"),
-            bwd_tile_cb=stack(bwd, "tile_cb"),
-            bwd_strips=stack(bwd, "strips"),
-            bwd_strip_rb=stack(bwd, "strip_rb"),
-            bwd_strip_cb=stack(bwd, "strip_cb"),
-            bwd_live=stack(bwd, "live"),
+            fwd_local=stack_mats(fwd_l),
+            fwd_halo=stack_mats(fwd_h),
+            bwd_local=stack_mats(bwd_l),
+            bwd_halo=stack_mats(bwd_h),
             tile_r=tile,
             tile_c=tile_c,
             n_rows=rows,
-            n_cols=buf_cols,
+            halo_cols=halo_cols,
         )
     )
 
@@ -369,46 +387,60 @@ def sharded_spmm(
 
         sb = pg.bsr
 
-        def kernel(send_map, ft, frb, fcb, fs, fsrb, fscb, flv,
-                   bt, brb, bcb, bs_, bsrb, bscb, blv, x_local):
+        def shard_mat(mats: ShardedBSRMats, n_rows: int, n_cols: int) -> BSRMatrix:
+            return BSRMatrix(
+                tiles=mats.tiles[0], tile_rb=mats.tile_rb[0],
+                tile_cb=mats.tile_cb[0], strips=mats.strips[0],
+                strip_rb=mats.strip_rb[0], strip_cb=mats.strip_cb[0],
+                live=mats.live[0],
+                n_rows=n_rows, n_cols=n_cols,
+                tile_r=sb.tile_r, tile_c=sb.tile_c,
+            )
+
+        def kernel(send_map, fl, fh, bl, bh, x_local):
             # identical halo exchange to 'halo' ...
             send_buf = jnp.take(x_local, send_map[0], axis=0)
             recv = jax.lax.all_to_all(
                 send_buf, axis, split_axis=0, concat_axis=0, tiled=False
             )
             halo = recv.reshape(-1, x_local.shape[-1])  # (S*H, d) owner-blocks
-            buffer = jnp.concatenate([x_local, halo], axis=0)
-            # ... feeding the Pallas block-sparse kernel instead of
-            # gather+segment-sum: per-shard rectangular operator
-            # (rows_per_shard x (rows + S*H)), custom VJP routes
-            # d(buffer) = A_s^T g back through the concat/all_to_all
-            # transposes automatically.
-            fwd = BSRMatrix(
-                tiles=ft[0], tile_rb=frb[0], tile_cb=fcb[0],
-                strips=fs[0], strip_rb=fsrb[0], strip_cb=fscb[0],
-                live=flv[0],
-                n_rows=sb.n_rows, n_cols=sb.n_cols,
-                tile_r=sb.tile_r, tile_c=sb.tile_c,
+            # ... feeding TWO Pallas block-sparse matmuls: the local one
+            # (rows x rows over x_local) has no dependency on the
+            # all_to_all, so XLA's async collectives overlap the exchange
+            # with the bulk of the compute; the halo one (rows x S*H)
+            # consumes the received rows. The custom VJPs route
+            # d(x_local) = A_local^T g and d(halo) = A_halo^T g, the
+            # latter back through the all_to_all transpose automatically.
+            out_local = _spmm_bsr(
+                BSROperator(
+                    fwd=shard_mat(fl, rows, rows),
+                    bwd=shard_mat(bl, rows, rows),
+                ),
+                x_local,
             )
-            bwd = BSRMatrix(
-                tiles=bt[0], tile_rb=brb[0], tile_cb=bcb[0],
-                strips=bs_[0], strip_rb=bsrb[0], strip_cb=bscb[0],
-                live=blv[0],
-                n_rows=sb.n_cols, n_cols=sb.n_rows,
-                tile_r=sb.tile_r, tile_c=sb.tile_c,
+            out_halo = _spmm_bsr(
+                BSROperator(
+                    fwd=shard_mat(fh, rows, sb.halo_cols),
+                    bwd=shard_mat(bh, sb.halo_cols, rows),
+                ),
+                halo,
             )
-            return _spmm_bsr(BSROperator(fwd=fwd, bwd=bwd), buffer)
+            return out_local + out_halo
+
+        def mats_specs(mats: ShardedBSRMats):
+            return jax.tree_util.tree_map(
+                lambda a: P(axis, *([None] * (a.ndim - 1))), mats
+            )
 
         args = (
-            pg.send_map,
-            sb.fwd_tiles, sb.fwd_tile_rb, sb.fwd_tile_cb,
-            sb.fwd_strips, sb.fwd_strip_rb, sb.fwd_strip_cb, sb.fwd_live,
-            sb.bwd_tiles, sb.bwd_tile_rb, sb.bwd_tile_cb,
-            sb.bwd_strips, sb.bwd_strip_rb, sb.bwd_strip_cb, sb.bwd_live,
-            x,
+            pg.send_map, sb.fwd_local, sb.fwd_halo, sb.bwd_local,
+            sb.bwd_halo, x,
         )
-        in_specs = (P(axis, None, None),) + tuple(
-            P(axis, *([None] * (a.ndim - 1))) for a in args[1:]
+        in_specs = (
+            P(axis, None, None),
+            mats_specs(sb.fwd_local), mats_specs(sb.fwd_halo),
+            mats_specs(sb.bwd_local), mats_specs(sb.bwd_halo),
+            P(axis, None),
         )
     else:
         raise ValueError(f"unknown strategy {strategy!r}")

@@ -34,11 +34,12 @@ def test_sharded_spmm_matches_single_device(n_shards, strategy):
     np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("n_shards", [2, 8])
+@pytest.mark.parametrize("n_shards", [1, 2, 8])
 def test_halo_bsr_matches_single_device(n_shards):
-    """halo exchange feeding the per-shard Pallas BSR kernel == single-device
-    SpMM (forward AND gradient — the custom VJP must route d(halo) = A_s^T g
-    back through the all_to_all transpose)."""
+    """halo exchange feeding the per-shard Pallas BSR kernels == single-device
+    SpMM (forward AND gradient — the custom VJP must route d(halo) = A_halo^T g
+    back through the all_to_all transpose). n_shards=1 exercises the
+    empty-halo-operator edge case of the local/halo split."""
     from chromegcn_tpu.parallel.graph import attach_shard_bsr
 
     n, d = 1024, 8  # rows_per_shard must be a multiple of the 128 tile
