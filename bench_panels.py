@@ -81,6 +81,10 @@ def main() -> None:
     gerr = float(
         jnp.max(jnp.abs(gfun(x, out_xla, op) - gref(x, out_xla, graph)))
     )
+    gscale = float(jnp.max(jnp.abs(gref(x, out_xla, graph))))
+    # the gradient path must meet the same scaled tolerance as the forward
+    # (a VJP regression must fail the bench, not just print)
+    assert gerr < 1e-4 * max(1.0, gscale), (gerr, gscale)
     print(f"fwd err {err:.3e}, grad err {gerr:.3e}", flush=True)
 
     def timed(fn, operand, tag):

@@ -72,61 +72,69 @@ int64_t hic_topk(const char* path, const double* norm, int64_t norm_len,
   std::unordered_set<int64_t> bin_set(bins, bins + n_bins);
   std::priority_queue<Contact, std::vector<Contact>, ContactCmp> heap;
 
+  // Parse one NUL-terminated line and maybe push it onto the heap.
+  auto handle = [&](const char* line) {
+    const char* q = line;
+    int64_t b1 = parse_ll(&q);
+    int64_t b2 = parse_ll(&q);
+    while (*q == ' ' || *q == '\t') q++;
+    double v = strtod(q, nullptr);
+
+    int64_t dist = b1 > b2 ? b1 - b2 : b2 - b1;
+    if (dist < min_dist_bp) return;
+    if (max_dist_bp > 0 && dist > max_dist_bp) return;
+    if (b1 == b2 || !bin_set.count(b1) || !bin_set.count(b2)) return;
+    if (norm) {
+      int64_t i1 = b1 / resolution_bp;
+      int64_t i2 = b2 / resolution_bp;
+      if (i1 >= norm_len || i2 >= norm_len) return;
+      double n1 = norm[i1], n2 = norm[i2];
+      if (n1 == 0.0 || n2 == 0.0 || std::isnan(n1) || std::isnan(n2)) {
+        return;  // norm==inf in the reference -> val==0, never top-k
+      }
+      v = v / (n1 * n2);
+    }
+    if (static_cast<int64_t>(heap.size()) < k) {
+      heap.push({b1, b2, v});
+    } else if (!heap.empty() && v > heap.top().val) {
+      heap.pop();
+      heap.push({b1, b2, v});
+    }
+  };
+
+  // Chunked reader. A line may span ANY number of chunk boundaries: every
+  // newline-less tail is appended to `carry` and parsing only happens once
+  // a '\n' (or EOF) is seen. (A previous revision parsed carry + chunk as a
+  // complete line whenever carry was non-empty, truncating lines that
+  // crossed more than one boundary.)
   char buf[1 << 16];
   std::vector<char> carry;
   while (true) {
-    size_t got = fread(buf, 1, sizeof(buf) - 1, f);
+    size_t got = fread(buf, 1, sizeof(buf), f);
     if (got == 0) break;
-    buf[got] = '\0';
-    const char* p = buf;
-    const char* end = buf + got;
+    char* p = buf;
+    char* end = buf + got;
     while (p < end) {
-      const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
-      const char* line = p;
-      std::vector<char> linebuf;
-      if (!carry.empty()) {
-        linebuf.assign(carry.begin(), carry.end());
-        linebuf.insert(linebuf.end(), p, nl ? nl : end);
-        linebuf.push_back('\0');
-        line = linebuf.data();
-        carry.clear();
-      } else if (!nl) {
-        carry.assign(p, end);
+      char* nl = static_cast<char*>(memchr(p, '\n', end - p));
+      if (!nl) {
+        carry.insert(carry.end(), p, end);  // line continues in next chunk
         break;
       }
-      if (!nl && linebuf.empty()) break;
-
-      const char* q = line;
-      int64_t b1 = parse_ll(&q);
-      int64_t b2 = parse_ll(&q);
-      while (*q == ' ' || *q == '\t') q++;
-      double v = strtod(q, nullptr);
-
-      int64_t dist = b1 > b2 ? b1 - b2 : b2 - b1;
-      if (dist < min_dist_bp) goto next_line;
-      if (max_dist_bp > 0 && dist > max_dist_bp) goto next_line;
-      if (b1 != b2 && bin_set.count(b1) && bin_set.count(b2)) {
-        if (norm) {
-          int64_t i1 = b1 / resolution_bp;
-          int64_t i2 = b2 / resolution_bp;
-          if (i1 >= norm_len || i2 >= norm_len) { goto next_line; }
-          double n1 = norm[i1], n2 = norm[i2];
-          if (n1 == 0.0 || n2 == 0.0 || std::isnan(n1) || std::isnan(n2)) {
-            goto next_line;  // norm==inf in the reference -> val==0, never top-k
-          }
-          v = v / (n1 * n2);
-        }
-        if (static_cast<int64_t>(heap.size()) < k) {
-          heap.push({b1, b2, v});
-        } else if (!heap.empty() && v > heap.top().val) {
-          heap.pop();
-          heap.push({b1, b2, v});
-        }
+      if (!carry.empty()) {
+        carry.insert(carry.end(), p, nl);
+        carry.push_back('\0');
+        handle(carry.data());
+        carry.clear();
+      } else {
+        *nl = '\0';  // NUL-terminate in place (buf is writable)
+        handle(p);
       }
-    next_line:
-      if (!nl) break;
       p = nl + 1;
     }
+  }
+  if (!carry.empty()) {  // final line without trailing newline
+    carry.push_back('\0');
+    handle(carry.data());
   }
   fclose(f);
 

@@ -119,15 +119,23 @@ def run_pretrain(cfg: Config, splits: Dict[str, WindowDataset], verbose=print):
     os.makedirs(run_dir, exist_ok=True)
 
     if cfg.save_feats or cfg.load_pretrained:
-        if ckpt.checkpoint_exists(run_dir):
-            restored = ckpt.restore_checkpoint(run_dir)
-            state = state.replace(
-                params=jax.tree_util.tree_map(jnp.asarray, restored["params"]),
-                batch_stats=jax.tree_util.tree_map(
-                    jnp.asarray, restored["batch_stats"]
-                ),
+        if not ckpt.checkpoint_exists(run_dir):
+            # fail loudly: dumping features from random weights silently
+            # poisons the CNN->GCN handoff. The reference fails here too —
+            # its torch.load of model.chkpt raises (reference: main.py:72-77).
+            raise FileNotFoundError(
+                f"{'save_feats' if cfg.save_feats else 'load_pretrained'} "
+                f"requires a trained window checkpoint, but none exists at "
+                f"{run_dir!r} — run the pretrain stage first"
             )
-            verbose(f"restored window checkpoint from {run_dir}")
+        restored = ckpt.restore_checkpoint(run_dir)
+        state = state.replace(
+            params=jax.tree_util.tree_map(jnp.asarray, restored["params"]),
+            batch_stats=jax.tree_util.tree_map(
+                jnp.asarray, restored["batch_stats"]
+            ),
+        )
+        verbose(f"restored window checkpoint from {run_dir}")
 
     tracker = BestTracker()
     logger = EpochLogger(run_dir)
@@ -500,6 +508,15 @@ def run_joint(cfg: Config, splits: Optional[Dict[str, WindowDataset]] = None, ve
     see train/joint.py)."""
     from chromegcn_tpu.train.joint import joint_eval_step, joint_train_step
 
+    if cfg.dp_devices > 1 or cfg.tp_devices > 1 or cfg.graph_devices > 1:
+        # joint mode is single-device for now (configs/README.md scopes
+        # this); failing loudly beats silently ignoring the mesh flags
+        raise NotImplementedError(
+            "joint CNN+GCN mode does not compose with -dp_devices/"
+            "-tp_devices/-graph_devices yet; run joint single-device or "
+            "use the staged pretrain->save_feats->finetune path, whose "
+            "trainer honors all three"
+        )
     if splits is None:
         splits = artifact.load_dataset(cfg.data_path)
     train_ds = splits["train"]

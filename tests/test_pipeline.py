@@ -196,3 +196,44 @@ def test_max_dist_filter_is_pre_topk(tmp_path):
     for fn in (native_bridge.hic_topk, native_bridge._hic_topk_numpy):
         b1, b2, v = fn(str(raw), bins, 1, None, 1000, max_dist_bp=2000)
         assert (b1.tolist(), b2.tolist()) == ([0], [1000]), fn.__name__
+
+
+def test_hic_topk_line_spanning_multiple_chunks(tmp_path):
+    """The C++ reader streams 64 KB chunks; a line may span ANY number of
+    chunk boundaries (a previous revision parsed carry+chunk as a complete
+    line whenever the carry was non-empty, truncating lines crossing more
+    than one boundary). parse_ll skips leading whitespace, so a >128 KB
+    line of padding exercises the multi-chunk carry path exactly."""
+    raw = tmp_path / "c.RAWobserved"
+    long_line = " " * (3 * (1 << 16)) + "0\t1000\t50.0"
+    raw.write_text("0\t2000\t10.0\n" + long_line + "\n0\t3000\t5.0")
+    bins = np.array([0, 1000, 2000, 3000])
+    for fn in (native_bridge.hic_topk, native_bridge._hic_topk_numpy):
+        b1, b2, v = fn(str(raw), bins, 5, None, 1000)
+        got = sorted(zip(b1.tolist(), b2.tolist(), v.tolist()))
+        assert got == [(0, 1000, 50.0), (0, 2000, 10.0), (0, 3000, 5.0)], fn
+
+
+def test_hic_topk_chunk_boundary_straddle(tmp_path):
+    """Lines placed so a newline falls exactly at / just past the 64 KB
+    chunk edge: native output must equal the numpy fallback regardless of
+    where the boundaries land."""
+    lines = []
+    val = 1.0
+    pos = 0
+    # enough variety of line lengths to hit boundaries at many offsets
+    for i in range(9000):
+        b1 = i * 1000
+        b2 = b1 + 1000 * (1 + i % 7)
+        lines.append(f"{b1}\t{b2}\t{val + i * 0.5}")
+        pos += 1
+    text = "\n".join(lines) + "\n"
+    raw = tmp_path / "c.RAWobserved"
+    raw.write_text(text)
+    assert len(text) > 2 * (1 << 16)  # spans several chunks
+    bins = np.arange(0, 9000 * 1000 + 8000, 1000)
+    n1, n2, nv = native_bridge._hic_topk_numpy(str(raw), bins, 50, None, 1000)
+    c1, c2, cv = native_bridge.hic_topk(str(raw), bins, 50, None, 1000)
+    assert sorted(zip(c1.tolist(), c2.tolist(), cv.tolist())) == sorted(
+        zip(n1.tolist(), n2.tolist(), nv.tolist())
+    )

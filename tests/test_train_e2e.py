@@ -135,3 +135,25 @@ def test_finetune_resume_continues_epochs(tiny_world):
     logs = open(os.path.join(resumed.run_dir, "train.log")).read().splitlines()
     epochs_logged = [int(line.split(",")[0]) for line in logs]
     assert epochs_logged[-1] == 4
+
+
+def test_save_feats_without_checkpoint_fails_loudly(tmp_path):
+    """Dumping features from random weights would silently poison the
+    CNN->GCN handoff; the reference fails at its torch.load
+    (reference: main.py:72-77) and so must we."""
+    import dataclasses
+
+    splits = {
+        s: make_window_dataset({c: 8}, n_targets=4, seq_length=500, seed=i)
+        for i, (s, c) in enumerate(
+            (("train", "chr2"), ("valid", "chr3"), ("test", "chr1"))
+        )
+    }
+    cfg = Config(
+        dataroot=str(tmp_path / "data"), results_dir=str(tmp_path / "results"),
+        cell_type="SYN", epochs=1, batch_size=8, seq_length=500, d_model=32,
+        pretrain=False, save_feats=True,
+    )
+    os.makedirs(os.path.join(cfg.dataroot, "SYN", "1000"), exist_ok=True)
+    with pytest.raises(FileNotFoundError, match="save_feats"):
+        run(cfg, splits, verbose=lambda *a: None)
