@@ -51,11 +51,16 @@ def build():
     return graph, x_f, x_r, targets
 
 
-def bench_impl(impl: str, graph, x_f, x_r, targets, iters=20, precision="high"):
+def bench_impl(impl: str, graph, x_f, x_r, targets, iters=10, precision="high",
+               fused="off", repeats=5):
     """precision='high' (bf16x3) is the production default: f32-faithful
     GEMMs (config.matmul_precision — parity_chr.py measures worst 7.7e-5
     vs the torch oracle at this scale, where TPU's bf16 DEFAULT diverges
-    ~1e-2). 'default' is the bf16 fast mode, reported in detail only."""
+    ~1e-2). 'default' is the bf16 fast mode, reported in detail only.
+
+    Returns the MEDIAN over ``repeats`` timed loops: single-shot timings on
+    the axon tunnel scatter ±15% run-to-run (VERDICT r2), so every quoted
+    number is a median-of-k."""
     import contextlib
 
     ctx = (
@@ -64,16 +69,19 @@ def bench_impl(impl: str, graph, x_f, x_r, targets, iters=20, precision="high"):
         else contextlib.nullcontext()
     )
     with ctx:
-        return _bench_impl_inner(impl, graph, x_f, x_r, targets, iters)
+        return _bench_impl_inner(impl, graph, x_f, x_r, targets, iters,
+                                 fused, repeats)
 
 
-def _bench_impl_inner(impl: str, graph, x_f, x_r, targets, iters):
+def _bench_impl_inner(impl: str, graph, x_f, x_r, targets, iters, fused,
+                      repeats):
     from chromegcn_tpu.models.chrome import ChromeGCN
     from chromegcn_tpu.train.finetune import chrome_train_step, create_chrome_state
     from chromegcn_tpu.train.optim import make_optimizer
 
     model = ChromeGCN(
-        nfeat=D, nhid=D, nclass=NCLASS, dropout=0.2, layers=LAYERS, spmm_impl=impl
+        nfeat=D, nhid=D, nclass=NCLASS, dropout=0.2, layers=LAYERS,
+        spmm_impl=impl, fused=fused,
     )
     key = jax.random.PRNGKey(0)
     state = create_chrome_state(model, make_optimizer("sgd", 0.25), key, nfeat=D, n_nodes=256)
@@ -82,12 +90,14 @@ def _bench_impl_inner(impl: str, graph, x_f, x_r, targets, iters):
     state, loss, _ = chrome_train_step(state, x_f, x_r, graph, targets, key)
     jax.block_until_ready(loss)
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, loss, _ = chrome_train_step(state, x_f, x_r, graph, targets, key)
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / iters
-    return dt, float(loss)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, loss, _ = chrome_train_step(state, x_f, x_r, graph, targets, key)
+        jax.block_until_ready(loss)
+        times.append((time.perf_counter() - t0) / iters)
+    return float(np.median(times)), float(loss)
 
 
 # Roofline reference points (BASELINE.md "SpMM >= 80% of roofline"):
@@ -99,10 +109,12 @@ HBM_BYTES_PER_S = 819e9
 BLOCK_STREAM_ELEMS_PER_S = 20e9
 
 
-def bench_roofline(graph_bsr, iters=50):
+def bench_roofline(graph_bsr, iters=50, repeats=5):
     """Kernel-only SpMM timing (single-dispatch fori loop — the only timing
     this backend reports honestly, DESIGN.md §7) + streamed-traffic
-    accounting, reported as % of the two roofline candidates."""
+    accounting, reported as % of the two roofline candidates. Median of
+    ``repeats`` fori launches (single-shot timings scatter ±15% on this
+    backend); the quoted roofline claim rests on this median."""
     from chromegcn_tpu.ops.spmm_pallas import spmm_pallas, streamed_elements
 
     op = graph_bsr.bsr
@@ -114,9 +126,12 @@ def bench_roofline(graph_bsr, iters=50):
 
     f = jax.jit(lambda x: jax.lax.fori_loop(0, iters, step, x))
     jax.block_until_ready(f(x0))
-    t0 = time.perf_counter()
-    jax.block_until_ready(f(x0))
-    dt = (time.perf_counter() - t0) / iters
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x0))
+        times.append((time.perf_counter() - t0) / iters)
+    dt = float(np.median(times))
 
     block_bytes = acct["block_elems"] * acct["elem_bytes"]
     total_bytes = block_bytes + acct["x_out_elems"] * 4
@@ -124,6 +139,7 @@ def bench_roofline(graph_bsr, iters=50):
     stream_bound_s = acct["block_elems"] / BLOCK_STREAM_ELEMS_PER_S
     return {
         "spmm_ms": round(dt * 1e3, 4),
+        "spmm_ms_spread": [round(t * 1e3, 4) for t in sorted(times)],
         "streamed_block_elems": acct["block_elems"],
         "streamed_mbytes": round(total_bytes / 1e6, 2),
         "pct_of_block_stream_bound": round(100 * stream_bound_s / dt, 1),
@@ -145,8 +161,18 @@ def main():
         from chromegcn_tpu.ops.spmm_pallas import attach_bsr
 
         graph_bsr = attach_bsr(graph)
+        # production path: unfused composition (XLA GEMM -> SpMM kernel ->
+        # XLA gate). The fused-kernel variant is a measured LOSS on this
+        # backend (DESIGN.md §1 round-3 ablation) and reported as detail
+        # only when CHROMEGCN_BENCH_FUSED is set (its extra compile costs
+        # minutes over the tunnel).
         dt_pallas, loss_pallas = bench_impl("pallas", graph_bsr, x_f, x_r, targets)
         results["pallas"] = dt_pallas
+        if os.environ.get("CHROMEGCN_BENCH_FUSED"):
+            dt_fused, _ = bench_impl(
+                "pallas", graph_bsr, x_f, x_r, targets, fused="on"
+            )
+            results["pallas_fused"] = dt_fused
         # bf16 fast mode (documented ~1e-2 relative error on normalized
         # adjacency): reported in detail, never the headline parity metric.
         # Off by default — its extra train-step compile costs minutes over
@@ -166,7 +192,9 @@ def main():
     if "pallas" in results:
         roofline = bench_roofline(graph_bsr)
 
-    parity = {k: v for k, v in results.items() if k != "pallas_bf16"}
+    parity = {
+        k: v for k, v in results.items() if k not in ("pallas_bf16",)
+    }
     best_impl = min(parity, key=parity.get)
     best_dt = results[best_impl]
     value = edges_per_step / best_dt

@@ -108,12 +108,13 @@ def main():
                         "ms_per_spmm": round(dt * 1e3, 3),
                         "scaling_efficiency": round(eps / (base * nd), 3),
                         "backend": jax.default_backend(),
-                        # per-device ICI halo volume — (S-1) remote blocks of
-                        # H rows each way (vs n*d*4 for all_gather); the
-                        # all_to_all self block never crosses ICI
+                        # per-device ICI halo volume — one ring round per
+                        # offset k, each shipping H_k rows (vs n*d*4 for
+                        # all_gather); per-offset widths, not a global max
                         "halo_mb_per_device": round(
-                            (nd - 1) * pg.halo_width * x_host.shape[1] * 4 / 2**20, 3
+                            pg.halo_cols * x_host.shape[1] * 4 / 2**20, 3
                         ),
+                        "halo_widths": list(pg.halo_widths),
                         "interpret_mode": jax.default_backend() == "cpu"
                         and args.strategy == "halo_bsr",
                     },

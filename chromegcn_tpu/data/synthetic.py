@@ -82,3 +82,76 @@ def make_hic_edges(
     receivers = np.concatenate([sj, si])
     vals = np.ones(senders.shape[0], np.float32)
     return senders, receivers, vals
+
+
+def make_graph_coupled_dataset(
+    split_chroms: Dict[str, Dict[str, int]],
+    n_targets: int = 919,
+    seq_length: int = EXTENDED_WINDOW_SIZE,
+    n_motifs: int = 64,
+    motif_len: int = 8,
+    motif_p: float = 0.2,
+    neighbor_thresh: float = 0.3,
+    pairs_per_node: float = 5.0,
+    seed: int = 0,
+):
+    """Windows whose labels genuinely depend on Hi-C NEIGHBORS — the
+    strongest data-free proxy for the paper's central claim (GCN beats
+    CNN; reference scripts/analyze_results.py exists to measure exactly
+    this comparison).
+
+    Each window carries a latent motif-presence vector (motifs are planted
+    8-mers the CNN can detect). Target t fires on window i iff window i
+    carries motif mu(t) AND at least ``neighbor_thresh`` of i's Hi-C graph
+    neighbors carry it too. A sequence-only model can recover the "own
+    motif" factor but the neighbor factor is invisible to it — its
+    precision is capped by P(neighbors qualify | own motif present) —
+    while the graph stage sees the neighbors' features and can close the
+    gap. Returns (splits, graphs): WindowDatasets per split plus
+    per-chromosome COO contact edges in the artifact format
+    (data/artifact.save_graph_edges).
+    """
+    rng = np.random.default_rng(seed)
+    motifs = rng.integers(0, 4, size=(n_motifs, motif_len)).astype(np.int32)
+    mu = rng.integers(0, n_motifs, size=n_targets)  # target -> motif
+
+    splits: Dict[str, WindowDataset] = {}
+    graphs: Dict[str, Dict[str, Tuple[np.ndarray, np.ndarray, np.ndarray]]] = {}
+    for split, per_chrom in split_chroms.items():
+        tok_parts, tgt_parts, chrom_col, start_col = [], [], [], []
+        graphs[split] = {}
+        for chrom, n in per_chrom.items():
+            tokens = rng.integers(0, 4, size=(n, seq_length)).astype(np.int32)
+            present = rng.random((n, n_motifs)) < motif_p
+            for i in range(n):
+                for m in np.nonzero(present[i])[0]:
+                    # deterministic per-motif slot so motifs don't overwrite
+                    # each other: motif m sits at offset m * motif_len
+                    off = (m * motif_len) % (seq_length - motif_len)
+                    tokens[i, off : off + motif_len] = motifs[m]
+            s, r, v = make_hic_edges(
+                n, int(n * pairs_per_node), seed=rng.integers(1 << 30)
+            )
+            graphs[split][chrom] = (s, r, v)
+            # neighbor motif fraction over the directed edge list
+            deg = np.maximum(np.bincount(r, minlength=n), 1)
+            nbr = np.zeros((n, n_motifs), np.float32)
+            np.add.at(nbr, r, present[s].astype(np.float32))
+            nbr /= deg[:, None]
+            targets = (
+                present[:, mu] & (nbr[:, mu] >= neighbor_thresh)
+            ).astype(np.uint8)
+            tok_parts.append(tokens)
+            tgt_parts.append(targets)
+            chrom_col.extend([chrom] * n)
+            start_col.extend(range(0, n * 1000, 1000))
+        tgt_vocab = {f"assay{i}": i for i in range(n_targets)}
+        splits[split] = WindowDataset(
+            tokens=np.concatenate(tok_parts),
+            targets=np.concatenate(tgt_parts),
+            chroms=np.asarray(chrom_col, dtype=object),
+            starts=np.asarray(start_col, dtype=np.int64),
+            src_vocab=dict(SRC_VOCAB),
+            tgt_vocab=tgt_vocab,
+        )
+    return splits, graphs

@@ -87,6 +87,41 @@ class GraphConvolution(nn.Module):
         return out
 
 
+class _GCParams(nn.Module):
+    """Parameter holder matching GraphConvolution's tree ("weight"/"bias") —
+    used by the fused kernel path so checkpoints/param trees are identical
+    whichever path a config selects (flax derives param RNG from the path,
+    so init values match too)."""
+
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self):
+        w = self.param(
+            "weight", _xavier_normal_gain(0.02),
+            (self.in_features, self.out_features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.out_features,))
+        return w, b
+
+
+class _DenseParams(nn.Module):
+    """Parameter holder matching nn.Dense's tree ("kernel"/"bias")."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class ChromeGCN(nn.Module):
     """Gated residual 2-layer GCN head (reference: models/ChromeModels.py:21-52).
 
@@ -94,7 +129,15 @@ class ChromeGCN(nn.Module):
     stacked form runs both strands through each SpMM in one pass (they share
     the adjacency — the reference runs two sequential passes,
     finetune.py:41-42). With stacking, BatchNorm statistics pool both
-    strands (documented divergence, same spirit as models/strand.py)."""
+    strands (documented divergence, same spirit as models/strand.py).
+
+    ``fused='on'`` routes each layer through the fused
+    SpMM+GEMM+tanh kernel (ops/gcn_fused.py) whenever the graph carries a
+    flat BSROperator that fits the fused VMEM budget — gradient-exact vs
+    the unfused composition (tests/test_fused.py). Default 'off': fusion
+    is a MEASURED LOSS on this chip/backend (12.9 vs 10.4 ms/step at chr1
+    scale — Mosaic epilogue overheads exceed the saved HBM round-trips,
+    which are not the bottleneck; DESIGN.md §1 round-3 ablation)."""
 
     nfeat: int = 128
     nhid: int = 128
@@ -103,6 +146,21 @@ class ChromeGCN(nn.Module):
     gate: bool = True  # kept for config parity; forward always gates (see module doc)
     layers: int = 2
     spmm_impl: str = "auto"
+    fused: str = "off"
+
+    def _use_fused(self, x: jax.Array, graph) -> bool:
+        from chromegcn_tpu.ops.gcn_fused import fused_fits
+        from chromegcn_tpu.ops.spmm_pallas import BSROperator
+
+        return (
+            self.fused == "on"
+            and self.spmm_impl in ("auto", "pallas")
+            and graph is not None
+            and isinstance(getattr(graph, "bsr", None), BSROperator)
+            and x.ndim == 2
+            and x.shape[-1] == self.nhid == self.nfeat
+            and fused_fits(graph.bsr, x.shape[-1])
+        )
 
     @nn.compact
     def __call__(
@@ -116,19 +174,40 @@ class ChromeGCN(nn.Module):
         if node_mask is None and graph is not None:
             node_mask = graph.node_mask
 
+        use_fused = self._use_fused(x_in, graph)
+        if use_fused:
+            from chromegcn_tpu.ops.gcn_fused import fused_gated_layer
+
         x = x_in
-        z = GraphConvolution(self.nhid, spmm_impl=self.spmm_impl, name="GC1")(x, graph)
-        z = jnp.tanh(z)
-        g = jax.nn.sigmoid(nn.Dense(1, name="W1")(z))
-        x = (1.0 - g) * x + g * z
+        if use_fused:
+            w1, b1 = _GCParams(x.shape[-1], self.nhid, name="GC1")()
+            u1, bu1 = _DenseParams(self.nhid, 1, name="W1")()
+            x, z1, g = fused_gated_layer(graph.bsr, x, w1, b1, u1, bu1)
+            # per-layer activations for the parity harness (utils/parity.py):
+            # the fused kernel materializes tanh/sigmoid space, not the
+            # pre-activation GC/Dense outputs the unfused modules sow
+            self.sow("intermediates", "fused_z1", z1)
+            self.sow("intermediates", "fused_g1", g)
+        else:
+            z = GraphConvolution(self.nhid, spmm_impl=self.spmm_impl, name="GC1")(x, graph)
+            z = jnp.tanh(z)
+            g = jax.nn.sigmoid(nn.Dense(1, name="W1")(z))
+            x = (1.0 - g) * x + g * z
 
         g2 = None
         if self.layers == 2:
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
-            z2 = GraphConvolution(self.nfeat, spmm_impl=self.spmm_impl, name="GC2")(x, graph)
-            z2 = jnp.tanh(z2)
-            g2 = jax.nn.sigmoid(nn.Dense(1, name="W2")(z2))
-            x = (1.0 - g2) * x + g2 * z2
+            if use_fused:
+                w2, b2 = _GCParams(x.shape[-1], self.nfeat, name="GC2")()
+                u2, bu2 = _DenseParams(self.nfeat, 1, name="W2")()
+                x, z2s, g2 = fused_gated_layer(graph.bsr, x, w2, b2, u2, bu2)
+                self.sow("intermediates", "fused_z2", z2s)
+                self.sow("intermediates", "fused_g2", g2)
+            else:
+                z2 = GraphConvolution(self.nfeat, spmm_impl=self.spmm_impl, name="GC2")(x, graph)
+                z2 = jnp.tanh(z2)
+                g2 = jax.nn.sigmoid(nn.Dense(1, name="W2")(z2))
+                x = (1.0 - g2) * x + g2 * z2
 
         h = nn.relu(x)
         h = MaskedBatchNorm(name="batch_norm")(
@@ -189,13 +268,14 @@ def make_chrome_model(
     layers: int = 2,
     nfeat: int = 128,
     spmm_impl: str = "auto",
+    fused: str = "off",
 ):
     """Factory mirroring reference dispatch (reference: main.py:59-62)."""
     name = name.lower()
     if name == "gcn":
         return ChromeGCN(
             nfeat=nfeat, nhid=nfeat, nclass=nclass, dropout=dropout,
-            gate=gate, layers=layers, spmm_impl=spmm_impl,
+            gate=gate, layers=layers, spmm_impl=spmm_impl, fused=fused,
         )
     if name == "rnn":
         return ChromeRNN(nfeat=nfeat, nclass=nclass, dropout=dropout, layers=layers)

@@ -12,12 +12,15 @@ Three exchange strategies:
   per device = N x d per layer.
 - ``halo``: a true boundary exchange. At partition time each shard records
   exactly which remote rows its edges read, grouped by owning shard; at
-  run time every owner gathers the rows each peer requested into a send
-  buffer and a single ``all_to_all`` delivers them. Traffic per device =
-  S x H_max x d where H_max is the (padded) largest per-owner request —
-  for diagonal-dominant Hi-C graphs the halo is a thin boundary band, so
-  H_max << N and the exchange rides ICI at a fraction of the all_gather
-  cost.
+  run time the exchange runs as S-1 ``ppermute`` ring rounds, one per
+  shard offset k, each shipping a buffer of H_k rows (the LARGEST request
+  at that offset, padded to 128). Per-offset widths matter: Hi-C contact
+  probability decays with genomic distance, so for contiguous node
+  shards H_k collapses with k — a single global-max width (the round-2
+  design, one all_to_all of (S, H_max)) let one dense boundary pair
+  inflate every shard's buffer, the wrong shape for pods. Traffic per
+  device = sum_k H_k x d per layer; zero-width offsets skip their round
+  entirely.
 - ``halo_bsr``: the same halo exchange feeding per-shard *Pallas BSR*
   matmuls (ops/spmm_pallas.py) instead of gather+segment-sum, SPLIT into
   ``A_local @ x_local + A_halo @ halo``. The local matmul
@@ -36,7 +39,7 @@ tests/test_partition.py).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -67,32 +70,33 @@ class ShardedBSRMats:
 @struct.dataclass
 class ShardedBSR:
     """Device-stacked per-shard rectangular BSR operators, SPLIT into a
-    local and a halo matmul so the exchange overlaps with compute.
+    local and a halo matmul so the exchange can overlap with compute.
 
     Shard s's SpMM is ``out = A_local @ x_local + A_halo @ halo`` where
     - ``fwd_local`` is (rows x rows): edges whose sender lives on this
-      shard. This matmul has NO data dependency on the all_to_all, so
-      XLA's async collectives run the exchange underneath it —
-      compute/comm overlap for free from the dependency structure
-      (SURVEY §7 "halo exchange overlap" hard part). On diagonal-dominant
-      Hi-C graphs this is the bulk of the work, so the halo latency is
-      fully hidden whenever t(local matmul) >= t(exchange).
-    - ``fwd_halo`` is (rows x S*H): edges with remote senders, columns in
-      halo-buffer coordinates (owner-blocks of H rows from the
-      all_to_all).
+      shard. This matmul has NO data dependency on the exchange, which
+      permits XLA's async collectives to run the ppermute rounds
+      underneath it (SURVEY §7 "halo exchange overlap" hard part; needs a
+      multi-chip profile to confirm — DESIGN.md §4). On diagonal-dominant
+      Hi-C graphs this is the bulk of the work.
+    - ``fwd_halo`` is (rows x halo_cols): edges with remote senders,
+      columns in halo-buffer coordinates (per-offset blocks of H_k rows
+      from the ring exchange). None when the partition has no remote
+      edges (e.g. n_shards == 1).
     ``bwd_*`` are the per-shard transposes consumed by the SpMM custom
     VJP: d(x_local) = A_local^T g (plus the scattered d(send_buf)), and
-    d(halo) = A_halo^T g flows back through the all_to_all to the owners.
+    d(halo) = A_halo^T g flows back through the ppermute transposes to
+    the owners.
     """
 
     fwd_local: ShardedBSRMats  # rows x rows
-    fwd_halo: ShardedBSRMats   # rows x (S*H)
+    fwd_halo: Optional[ShardedBSRMats]   # rows x halo_cols
     bwd_local: ShardedBSRMats  # rows x rows (transpose of fwd_local)
-    bwd_halo: ShardedBSRMats   # (S*H) x rows (transpose of fwd_halo)
+    bwd_halo: Optional[ShardedBSRMats]   # halo_cols x rows (transpose of fwd_halo)
     tile_r: int = struct.field(pytree_node=False)
     tile_c: int = struct.field(pytree_node=False)
     n_rows: int = struct.field(pytree_node=False)    # rows_per_shard
-    halo_cols: int = struct.field(pytree_node=False)  # S * halo_width
+    halo_cols: int = struct.field(pytree_node=False)  # sum of padded H_k
 
 
 @struct.dataclass
@@ -103,21 +107,26 @@ class PartitionedGraph:
     ``senders`` are *global* node ids; ``receivers_local`` are local row ids.
 
     Halo metadata (present when built with build_halo=True):
-      send_map:     (S, S, H) int32 — send_map[owner, dest] lists the
-                    *local* row ids ``owner`` must ship to ``dest`` (padded
-                    with 0; padding slots are ignored by construction
-                    because no edge reads them). The self row
-                    send_map[o, o] is all-zero: local senders never ride
-                    the exchange — Hi-C graphs are diagonal-dominant, so a
-                    shard's own rows dominate its reads, and routing them
-                    through the all_to_all would inflate H (a global max)
-                    to ~rows_per_shard, making "halo" cost what all_gather
-                    costs. Excluding them leaves H the true boundary band.
+      send_maps:    tuple of S-1 arrays, one per ring offset k=1..S-1,
+                    each (S, H_k) int32 — send_maps[k-1][o] lists the
+                    *local* row ids ``owner o`` must ship to dest
+                    (o+k) %% S (padded with 0; padding slots are ignored
+                    by construction because no edge reads them). H_k is
+                    the largest request AT THAT OFFSET (padded to 128),
+                    not a global max — Hi-C contact probability decays
+                    with genomic distance, so H_k collapses with k and a
+                    global max would let one dense boundary pair inflate
+                    every buffer. Local senders never ride the exchange:
+                    a shard's own rows dominate its reads on
+                    diagonal-dominant graphs.
+      halo_widths:  static tuple of the padded H_k (0 entries mean that
+                    offset's ring round is skipped entirely).
       senders_halo: (S, E_s) int32 — per edge, the position of its sender
                     inside the shard's concatenated read buffer
-                    [x_local (rows) ; halo (S owner-blocks of H rows)]:
-                    local senders index [0, rows), remote senders index
-                    rows + owner*H + rank.
+                    [x_local (rows) ; offset-1 block (H_1) ; ... ;
+                    offset-(S-1) block]: local senders index [0, rows),
+                    a remote sender from owner o at offset k=(s-o)%%S
+                    indexes rows + sum(H_j, j<k) + rank.
       bsr:          optional ShardedBSR (attach_shard_bsr) — per-shard
                     block-sparse forms in buffer coordinates, so the halo
                     exchange feeds the Pallas kernel instead of
@@ -128,16 +137,22 @@ class PartitionedGraph:
     receivers_local: jax.Array   # (S, E_s) int32 local
     vals: jax.Array              # (S, E_s) float32
     node_mask: jax.Array         # (S, rows_per_shard) bool
-    send_map: Optional[jax.Array]     # (S, S, H) int32
+    send_maps: Optional[Tuple[jax.Array, ...]]  # per offset: (S, H_k) int32
     senders_halo: Optional[jax.Array] # (S, E_s) int32
     n_shards: int = struct.field(pytree_node=False)
     rows_per_shard: int = struct.field(pytree_node=False)
-    halo_width: int = struct.field(pytree_node=False, default=0)
+    halo_widths: Tuple[int, ...] = struct.field(
+        pytree_node=False, default=()
+    )
     bsr: Optional[ShardedBSR] = None
 
     @property
     def n_nodes(self) -> int:
         return self.n_shards * self.rows_per_shard
+
+    @property
+    def halo_cols(self) -> int:
+        return sum(self.halo_widths)
 
 
 def partition_graph(
@@ -176,39 +191,42 @@ def partition_graph(
         for o in range(n_shards):
             needed[s][o] = uniq[owner == o]
 
-    send_map = senders_halo = None
-    h_pad = 0
+    send_maps = senders_halo = None
+    halo_widths: Tuple[int, ...] = ()
     if build_halo:
         # H is sized by REMOTE requests only: local senders read x_local
         # directly (see class docstring — including them makes halo cost
-        # what all_gather costs on diagonal-dominant graphs)
-        h_max = max(
-            (
-                len(needed[s][o])
-                for s in range(n_shards)
-                for o in range(n_shards)
-                if o != s
-            ),
-            default=1,
-        )
-        h_pad = int(np.ceil(max(h_max, 1) / 128) * 128)
-        send_map = np.zeros((n_shards, n_shards, h_pad), np.int32)
+        # what all_gather costs on diagonal-dominant graphs). Widths are
+        # PER RING OFFSET k = (dest - owner) mod S, not a global max: one
+        # dense boundary pair only inflates its own offset's round.
+        widths = []
+        for k in range(1, n_shards):
+            h_k = max(
+                (len(needed[(o + k) % n_shards][o]) for o in range(n_shards)),
+                default=0,
+            )
+            widths.append(0 if h_k == 0 else int(np.ceil(h_k / 128) * 128))
+        halo_widths = tuple(widths)
+        base = rows + np.concatenate([[0], np.cumsum(widths)]).astype(np.int64)
+
+        send_maps_np = [
+            np.zeros((n_shards, w), np.int32) for w in widths
+        ]
         senders_halo = np.zeros((n_shards, e_pad), np.int32)
-        for s in range(n_shards):
+        for k in range(1, n_shards):
             for o in range(n_shards):
-                if o == s:
-                    continue  # self block stays a dummy (no ICI traffic)
-                req = needed[s][o]
-                # owner o ships these (local ids) to destination s
-                send_map[o, s, : len(req)] = req - o * rows
-            # read-buffer layout at shard s: [x_local (rows) ; halo
-            # owner-blocks of h_pad rows each]; a local sender g sits at
-            # g - s*rows, a remote one at rows + o*h_pad + rank of g
-            # within needed[s][o]
-            k = len(per_shard[s])
+                req = needed[(o + k) % n_shards][o]
+                # owner o ships these (local ids) at ring offset k
+                send_maps_np[k - 1][o, : len(req)] = req - o * rows
+        for s in range(n_shards):
+            # read-buffer layout at shard s: [x_local (rows) ; offset
+            # blocks of H_k rows]; a local sender g sits at g - s*rows, a
+            # remote one from owner o at base[k-1] + rank within
+            # needed[s][o], k = (s - o) mod S
+            ke = len(per_shard[s])
             es = senders[per_shard[s]]
             owner = es // rows
-            pos = np.zeros(k, np.int64)
+            pos = np.zeros(ke, np.int64)
             local = owner == s
             pos[local] = es[local] - s * rows
             for o in range(n_shards):
@@ -216,21 +234,23 @@ def partition_graph(
                     continue
                 sel = owner == o
                 if sel.any():
-                    pos[sel] = (
-                        rows + o * h_pad + np.searchsorted(needed[s][o], es[sel])
+                    k = (s - o) % n_shards
+                    pos[sel] = base[k - 1] + np.searchsorted(
+                        needed[s][o], es[sel]
                     )
-            senders_halo[s, :k] = pos
+            senders_halo[s, :ke] = pos
+        send_maps = tuple(jnp.asarray(a) for a in send_maps_np)
 
     return PartitionedGraph(
         senders=jnp.asarray(S),
         receivers_local=jnp.asarray(R),
         vals=jnp.asarray(V),
         node_mask=jnp.asarray(M),
-        send_map=None if send_map is None else jnp.asarray(send_map),
+        send_maps=send_maps,
         senders_halo=None if senders_halo is None else jnp.asarray(senders_halo),
         n_shards=n_shards,
         rows_per_shard=rows,
-        halo_width=h_pad,
+        halo_widths=halo_widths,
     )
 
 
@@ -259,13 +279,13 @@ def attach_shard_bsr(
         _build_one_direction,
     )
 
-    if pg.send_map is None:
+    if pg.send_maps is None:
         raise ValueError("partition was built without halo metadata")
     tile = TILE if tile is None else tile
     tile_c = TILE_C if tile_c is None else tile_c
     rows = pg.rows_per_shard
-    halo_cols = pg.n_shards * pg.halo_width
-    if rows % tile or rows % tile_c or halo_cols % tile_c or halo_cols % tile:
+    halo_cols = pg.halo_cols  # per-offset padded widths summed
+    if rows % tile or rows % tile_c or halo_cols % tile_c:
         raise ValueError(
             f"rows_per_shard={rows} and halo block={halo_cols} must be "
             f"multiples of tile={tile} and tile_c={tile_c}"
@@ -291,9 +311,13 @@ def attach_shard_bsr(
             )
 
         fwd_l.append(build(cl, rl, vl, rows, rows))
-        fwd_h.append(build(ch, rh, vh, rows, halo_cols))
         bwd_l.append(build(rl, cl, vl, rows, rows))
-        bwd_h.append(build(rh, ch, vh, halo_cols, rows))
+        if halo_cols:
+            # halo tile columns: pad halo_cols up to a tile_r multiple for
+            # the transposed (halo_cols x rows) operator's row blocking
+            hc_pad = int(np.ceil(halo_cols / max(tile, tile_c)) * max(tile, tile_c))
+            fwd_h.append(build(ch, rh, vh, rows, hc_pad))
+            bwd_h.append(build(rh, ch, vh, hc_pad, rows))
 
     def stack_mats(mats) -> ShardedBSRMats:
         def stack(field):
@@ -317,13 +341,19 @@ def attach_shard_bsr(
     return pg.replace(
         bsr=ShardedBSR(
             fwd_local=stack_mats(fwd_l),
-            fwd_halo=stack_mats(fwd_h),
+            fwd_halo=stack_mats(fwd_h) if fwd_h else None,
             bwd_local=stack_mats(bwd_l),
-            bwd_halo=stack_mats(bwd_h),
+            bwd_halo=stack_mats(bwd_h) if bwd_h else None,
             tile_r=tile,
             tile_c=tile_c,
             n_rows=rows,
-            halo_cols=halo_cols,
+            # operator-view column count (halo_cols padded to a tile_r
+            # multiple when tile_r > tile_c; the kernel zero-pads the
+            # runtime halo buffer to match)
+            halo_cols=(
+                int(np.ceil(halo_cols / max(tile, tile_c)) * max(tile, tile_c))
+                if halo_cols else 0
+            ),
         )
     )
 
@@ -355,28 +385,35 @@ def sharded_spmm(
         args = (pg.senders, pg.receivers_local, pg.vals, x)
         in_specs = (P(axis, None), P(axis, None), P(axis, None), P(axis, None))
     elif strategy == "halo":
-        if pg.send_map is None:
+        if pg.send_maps is None:
             raise ValueError("partition was built without halo metadata")
 
-        def kernel(send_map, senders_halo, receivers_local, vals, x_local):
-            # Gather the rows each peer requested from me: (S, H, d)
-            send_buf = jnp.take(x_local, send_map[0], axis=0)
-            # One all_to_all delivers every shard's requests: slice o of the
-            # result is what owner o shipped to me == the rows I requested.
-            recv = jax.lax.all_to_all(
-                send_buf, axis, split_axis=0, concat_axis=0, tiled=False
-            )
-            halo = recv.reshape(-1, x_local.shape[-1])  # (S*H, d) owner-blocks
-            # read buffer = [local rows ; halo]: local senders skip the
-            # exchange entirely (see PartitionedGraph docstring)
-            buffer = jnp.concatenate([x_local, halo], axis=0)
+        def kernel(send_maps, senders_halo, receivers_local, vals, x_local):
+            # read buffer = [local rows ; per-offset halo blocks]: local
+            # senders skip the exchange entirely (see PartitionedGraph
+            # docstring); each ring round k ships only that offset's
+            # width H_k (zero-width offsets skip their round)
+            parts = [x_local]
+            for k, sm in enumerate(send_maps, start=1):
+                if sm.shape[-1] == 0:
+                    continue
+                buf = jnp.take(x_local, sm[0], axis=0)  # (H_k, d)
+                recv = jax.lax.ppermute(
+                    buf, axis,
+                    [(o, (o + k) % n_shards) for o in range(n_shards)],
+                )
+                parts.append(recv)
+            buffer = jnp.concatenate(parts, axis=0)
             gathered = jnp.take(buffer, senders_halo[0], axis=0) * vals[0][:, None]
             return jax.ops.segment_sum(
                 gathered, receivers_local[0], num_segments=rows
             )
 
-        args = (pg.send_map, pg.senders_halo, pg.receivers_local, pg.vals, x)
-        in_specs = (P(axis, None, None), P(axis, None), P(axis, None), P(axis, None), P(axis, None))
+        args = (pg.send_maps, pg.senders_halo, pg.receivers_local, pg.vals, x)
+        in_specs = (
+            tuple(P(axis, None) for _ in pg.send_maps),
+            P(axis, None), P(axis, None), P(axis, None), P(axis, None),
+        )
     elif strategy == "halo_bsr":
         if pg.bsr is None:
             raise ValueError(
@@ -397,20 +434,26 @@ def sharded_spmm(
                 tile_r=sb.tile_r, tile_c=sb.tile_c,
             )
 
-        def kernel(send_map, fl, fh, bl, bh, x_local):
-            # identical halo exchange to 'halo' ...
-            send_buf = jnp.take(x_local, send_map[0], axis=0)
-            recv = jax.lax.all_to_all(
-                send_buf, axis, split_axis=0, concat_axis=0, tiled=False
-            )
-            halo = recv.reshape(-1, x_local.shape[-1])  # (S*H, d) owner-blocks
+        def kernel(send_maps, fl, fh, bl, bh, x_local):
+            # identical per-offset ring exchange to 'halo' ...
+            parts = []
+            for k, sm in enumerate(send_maps, start=1):
+                if sm.shape[-1] == 0:
+                    continue
+                buf = jnp.take(x_local, sm[0], axis=0)  # (H_k, d)
+                recv = jax.lax.ppermute(
+                    buf, axis,
+                    [(o, (o + k) % n_shards) for o in range(n_shards)],
+                )
+                parts.append(recv)
             # ... feeding TWO Pallas block-sparse matmuls: the local one
             # (rows x rows over x_local) has no dependency on the
-            # all_to_all, so XLA's async collectives overlap the exchange
-            # with the bulk of the compute; the halo one (rows x S*H)
-            # consumes the received rows. The custom VJPs route
-            # d(x_local) = A_local^T g and d(halo) = A_halo^T g, the
-            # latter back through the all_to_all transpose automatically.
+            # exchange, permitting XLA's async collectives to overlap it
+            # with the bulk of the compute; the halo one (rows x
+            # halo_cols) consumes the received rows. The custom VJPs
+            # route d(x_local) = A_local^T g and d(halo) = A_halo^T g,
+            # the latter back through the ppermute transposes
+            # automatically.
             out_local = _spmm_bsr(
                 BSROperator(
                     fwd=shard_mat(fl, rows, rows),
@@ -418,6 +461,15 @@ def sharded_spmm(
                 ),
                 x_local,
             )
+            if fh is None:
+                return out_local
+            halo = jnp.concatenate(parts, axis=0)
+            if halo.shape[0] < sb.halo_cols:
+                # operator view is padded to a tile multiple; pad rows
+                # are never read (no edge maps past the live widths)
+                halo = jnp.pad(
+                    halo, ((0, sb.halo_cols - halo.shape[0]), (0, 0))
+                )
             out_halo = _spmm_bsr(
                 BSROperator(
                     fwd=shard_mat(fh, rows, sb.halo_cols),
@@ -427,17 +479,19 @@ def sharded_spmm(
             )
             return out_local + out_halo
 
-        def mats_specs(mats: ShardedBSRMats):
+        def mats_specs(mats):
+            if mats is None:
+                return None
             return jax.tree_util.tree_map(
                 lambda a: P(axis, *([None] * (a.ndim - 1))), mats
             )
 
         args = (
-            pg.send_map, sb.fwd_local, sb.fwd_halo, sb.bwd_local,
+            pg.send_maps, sb.fwd_local, sb.fwd_halo, sb.bwd_local,
             sb.bwd_halo, x,
         )
         in_specs = (
-            P(axis, None, None),
+            tuple(P(axis, None) for _ in pg.send_maps),
             mats_specs(sb.fwd_local), mats_specs(sb.fwd_halo),
             mats_specs(sb.bwd_local), mats_specs(sb.bwd_halo),
             P(axis, None),

@@ -119,11 +119,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, axis: str = "data"):
     """Return a placement function for host batches: pads are already static
-    so only device placement is needed."""
+    so only device placement is needed. Multi-process aware: on a pod each
+    host contributes only its own batch rows (parallel.multihost)."""
+    from chromegcn_tpu.parallel.multihost import put_global
+
     sharding = batch_sharding(mesh, axis)
 
     def place(x):
-        return jax.device_put(x, sharding)
+        return put_global(x, sharding)
 
     return place
 

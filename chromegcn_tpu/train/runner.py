@@ -90,7 +90,9 @@ def run_pretrain(cfg: Config, splits: Dict[str, WindowDataset], verbose=print):
         mesh = make_mesh_2d(cfg.dp_devices, cfg.tp_devices)
         state = place_window_state(state, mesh)
         sharding = tp_batch_sharding(mesh)
-        shard = lambda x: jax.device_put(x, sharding)
+        from chromegcn_tpu.parallel.multihost import put_global
+
+        shard = lambda x: put_global(x, sharding)
         verbose(
             f"2D mesh pretrain: dp={cfg.dp_devices} x tp={cfg.tp_devices}"
         )
@@ -311,9 +313,12 @@ def shard_split_graphs(cfg: Config, graphs, mesh, verbose=print):
         for split, per in graphs.items()
     }
     sharding = node_sharding(mesh)
+    from chromegcn_tpu.parallel.multihost import put_global
 
     def place(arr):
-        return jax.device_put(arr, sharding)
+        # multi-process aware: each host supplies only its own node rows
+        # (parallel.multihost; a no-op device_put single-process)
+        return put_global(arr, sharding)
 
     verbose(
         f"node-sharded GCN over {mesh.shape['graph']} devices "
