@@ -10,7 +10,7 @@ gradient vs the XLA segment-sum oracle — and times it (single-dispatch
 fori loop, the only honest timing on this backend, DESIGN.md §7).
 
 Run: `python bench_panels.py` (~2 min TPU incl. remote compile).
-Prints one JSON line; recorded in PANELS_r02.json / DESIGN.md §1.
+Prints one JSON line; recorded in PANELS_r03.json / DESIGN.md §1.
 """
 
 import json

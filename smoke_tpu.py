@@ -1,0 +1,112 @@
+"""Compiled-kernel TPU smoke: every Mosaic kernel variant compiles + runs
+on the real chip at tiny scale (~2 min incl. tunnel compiles).
+
+CI (pytest) exercises the kernels in interpret mode only, so a Mosaic
+regression would otherwise surface only at bench time (VERDICT r2 weak
+#8). This drives, at N=2048:
+- the flat VMEM-resident BSR kernel (fwd + grad),
+- the panelled operator (forced 2-panel bounds),
+- the halo_bsr shard kernel on a 1-device 'graph' mesh (shard_map +
+  per-shard rectangular kernels + ring-exchange plumbing),
+- the fused gated-layer kernels (fwd + bwd; off-default but must stay
+  compilable).
+Each output is checked against the XLA segment-sum oracle.
+
+Run: `python smoke_tpu.py` — part of the /verify recipe
+(.claude/skills/verify/SKILL.md).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from chromegcn_tpu.data.synthetic import make_hic_edges
+    from chromegcn_tpu.ops import spmm as spmm_mod
+    from chromegcn_tpu.ops.gcn_fused import fused_gated_layer
+    from chromegcn_tpu.ops.sparse import build_chrom_graph
+    from chromegcn_tpu.ops.spmm_pallas import (
+        attach_bsr,
+        bsr_panels_from_graph,
+        spmm_pallas,
+    )
+    from chromegcn_tpu.parallel.graph import (
+        attach_shard_bsr,
+        partition_graph,
+        sharded_spmm,
+    )
+    from chromegcn_tpu.parallel.mesh import make_mesh
+
+    print(f"backend: {jax.default_backend()}", flush=True)
+    n_valid, n_pad, d = 2000, 2048, 128
+    s, r, v = make_hic_edges(n_valid, 10_000, seed=0)
+    graph = build_chrom_graph("hic", n_valid=n_valid, n_pad=n_pad,
+                              hic_edges=(s, r, v))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(n_pad, d)).astype(np.float32))
+    ref = jax.jit(spmm_mod.spmm_xla)(graph, x)
+    scale = float(jnp.max(jnp.abs(ref)))
+
+    def check(name, out, expect=None, tol=1e-4):
+        expect = ref if expect is None else expect
+        err = float(jnp.max(jnp.abs(out - expect)))
+        assert err < tol * max(1.0, scale), (name, err)
+        print(f"  {name}: max-abs err {err:.2e} OK", flush=True)
+
+    t0 = time.time()
+    g_flat = attach_bsr(graph)
+    check("flat kernel fwd", jax.jit(spmm_pallas)(g_flat.bsr, x))
+    gfun = jax.jit(jax.grad(lambda xx, op, w: jnp.sum(spmm_pallas(op, xx) * w)))
+    gref = jax.jit(jax.grad(lambda xx, gr, w: jnp.sum(spmm_mod.spmm_xla(gr, xx) * w)))
+    check(
+        "flat kernel grad",
+        gfun(x, g_flat.bsr, ref),
+        expect=gref(x, graph, ref),
+    )
+
+    panel_op = bsr_panels_from_graph(graph, d_model=d, bounds=(0, 1024, 2048))
+    check("panel kernel fwd", jax.jit(spmm_pallas)(panel_op, x))
+
+    mesh = make_mesh(1, axis="graph")
+    pg = attach_shard_bsr(partition_graph(graph, 1))
+    out_sh = jax.jit(
+        lambda xx: sharded_spmm(pg, xx, mesh, axis="graph", strategy="halo_bsr")
+    )(x)
+    check("halo_bsr shard kernel (1-dev mesh)", out_sh)
+
+    w = jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.1)
+    b = jnp.asarray(np.zeros(d, np.float32))
+    u = jnp.asarray(rng.normal(size=(d, 1)).astype(np.float32) * 0.1)
+    bu = jnp.asarray(np.zeros(1, np.float32))
+    xn, z, g = jax.jit(fused_gated_layer)(g_flat.bsr, x, w, b, u, bu)
+    z_ref = jnp.tanh(spmm_mod.spmm_xla(graph, x @ w) + b)
+    check("fused fwd kernel", z, expect=z_ref)
+    gfit = jax.jit(
+        jax.grad(lambda xx: jnp.sum(fused_gated_layer(g_flat.bsr, xx, w, b, u, bu)[0]))
+    )
+    grft = jax.jit(
+        jax.grad(
+            lambda xx: jnp.sum(
+                (lambda zz, gg: (1 - gg) * xx + gg * zz)(
+                    jnp.tanh(spmm_mod.spmm_xla(graph, xx @ w) + b),
+                    jax.nn.sigmoid(
+                        jnp.tanh(spmm_mod.spmm_xla(graph, xx @ w) + b) @ u + bu
+                    ),
+                )
+            )
+        )
+    )
+    check("fused bwd kernel", gfit(x), expect=grft(x))
+    print(f"SMOKE OK in {time.time() - t0:.1f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
