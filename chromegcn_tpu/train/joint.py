@@ -32,6 +32,50 @@ from chromegcn_tpu.train.loss import bce_with_logits
 from chromegcn_tpu.train.pretrain import WindowTrainState
 
 
+def _cnn_features(apply_fn, wparams, batch_stats, tokens, comp_map, keys,
+                  chunk_size, graph, train):
+    """Whole-chromosome CNN features in rematerialized chunks.
+
+    When ``graph`` is a node-sharded parallel.graph.ShardedGraph, the
+    chunk loop runs under shard_map over the graph mesh axis: each device
+    maps over ITS OWN row range's chunks (node-partitioned CNN compute, the
+    composition VERDICT r2 item 8 asked for), and the features come out
+    sharded exactly as the sharded GCN stage consumes them. Plain lax.map
+    otherwise. Gradients flow through either path (shard_map psums the
+    replicated-param cotangents)."""
+
+    def cnn_all(wparams, batch_stats, tokens, comp_map, keys):
+        @jax.checkpoint
+        def cnn_chunk(args):
+            toks, key = args
+            rngs = {"dropout": key} if train else None
+            x_f, x_r, _ = apply_fn(
+                {"params": wparams, "batch_stats": batch_stats},
+                toks, comp_map, train=False,  # frozen BN stats (module doc)
+                rngs=rngs,
+            )
+            return x_f, x_r
+
+        n = tokens.shape[0]
+        chunks = tokens.reshape(n // chunk_size, chunk_size, -1)
+        x_f, x_r = jax.lax.map(cnn_chunk, (chunks, keys))
+        return x_f.reshape(n, -1), x_r.reshape(n, -1)
+
+    if type(graph).__name__ == "ShardedGraph":
+        from jax.sharding import PartitionSpec as P
+
+        ax = graph.axis
+        fn = jax.shard_map(
+            cnn_all,
+            mesh=graph.mesh,
+            in_specs=(P(), P(), P(ax, None), P(), P(ax, None)),
+            out_specs=(P(ax, None), P(ax, None)),
+            check_vma=False,
+        )
+        return fn(wparams, batch_stats, tokens, comp_map, keys)
+    return cnn_all(wparams, batch_stats, tokens, comp_map, keys)
+
+
 @functools.partial(jax.jit, static_argnames=("chunk_size",), donate_argnums=(0, 1))
 def joint_train_step(
     wstate: WindowTrainState,
@@ -49,23 +93,11 @@ def joint_train_step(
     rng_cnn, rng_f, rng_r = jax.random.split(rng, 3)
 
     def loss_fn(wparams, cparams):
-        @jax.checkpoint
-        def cnn_chunk(args):
-            toks, key = args
-            x_f, x_r, _ = wstate.apply_fn(
-                {"params": wparams, "batch_stats": wstate.batch_stats},
-                toks,
-                comp_map,
-                train=False,  # frozen BN stats (see module docstring)
-                rngs={"dropout": key},
-            )
-            return x_f, x_r
-
-        chunks = tokens.reshape(n // chunk_size, chunk_size, -1)
         keys = jax.random.split(rng_cnn, n // chunk_size)
-        x_f, x_r = jax.lax.map(cnn_chunk, (chunks, keys))
-        x_f = x_f.reshape(n, -1)
-        x_r = x_r.reshape(n, -1)
+        x_f, x_r = _cnn_features(
+            wstate.apply_fn, wparams, wstate.batch_stats, tokens, comp_map,
+            keys, chunk_size, graph, train=True,
+        )
 
         cvars = {"params": cparams, "batch_stats": cstate.batch_stats}
         (_, pred_f, _), upd = cstate.apply_fn(
@@ -102,18 +134,11 @@ def joint_eval_step(
 ) -> Tuple[jax.Array, jax.Array]:
     """Eval-mode joint forward for one chromosome: (loss, probs)."""
     n = tokens.shape[0]
-
-    def cnn_chunk(toks):
-        x_f, x_r, _ = wstate.apply_fn(
-            {"params": wstate.params, "batch_stats": wstate.batch_stats},
-            toks, comp_map, train=False,
-        )
-        return x_f, x_r
-
-    chunks = tokens.reshape(n // chunk_size, chunk_size, -1)
-    x_f, x_r = jax.lax.map(cnn_chunk, chunks)
-    x_f = x_f.reshape(n, -1)
-    x_r = x_r.reshape(n, -1)
+    keys = jax.random.split(jax.random.PRNGKey(0), n // chunk_size)  # unused (eval)
+    x_f, x_r = _cnn_features(
+        wstate.apply_fn, wstate.params, wstate.batch_stats, tokens, comp_map,
+        keys, chunk_size, graph, train=False,
+    )
 
     cvars = {"params": cstate.params, "batch_stats": cstate.batch_stats}
     _, pred_f, _ = cstate.apply_fn(cvars, x_f, graph, train=False)

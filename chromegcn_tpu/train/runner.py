@@ -513,14 +513,15 @@ def run_joint(cfg: Config, splits: Optional[Dict[str, WindowDataset]] = None, ve
     see train/joint.py)."""
     from chromegcn_tpu.train.joint import joint_eval_step, joint_train_step
 
-    if cfg.dp_devices > 1 or cfg.tp_devices > 1 or cfg.graph_devices > 1:
-        # joint mode is single-device for now (configs/README.md scopes
-        # this); failing loudly beats silently ignoring the mesh flags
+    if cfg.dp_devices > 1 or cfg.tp_devices > 1:
+        # joint mode composes with -graph_devices (node-partitioned CNN
+        # chunks + sharded GCN over the same mesh) but not with DP/TP
+        # (configs/README.md scopes this); failing loudly beats silently
+        # ignoring the mesh flags
         raise NotImplementedError(
             "joint CNN+GCN mode does not compose with -dp_devices/"
-            "-tp_devices/-graph_devices yet; run joint single-device or "
-            "use the staged pretrain->save_feats->finetune path, whose "
-            "trainer honors all three"
+            "-tp_devices; use -graph_devices for multi-device joint runs, "
+            "or the staged pretrain->save_feats->finetune path"
         )
     if splits is None:
         splits = artifact.load_dataset(cfg.data_path)
@@ -530,6 +531,14 @@ def run_joint(cfg: Config, splits: Optional[Dict[str, WindowDataset]] = None, ve
     comp_map = jnp.asarray(complement_permutation(train_ds.src_vocab))
     chunk = cfg.joint_chunk
 
+    n_shards = cfg.graph_devices
+    # node bucket: chunked CNN needs a chunk multiple; a sharded run also
+    # needs per-shard rows to be a 128-tile multiple AND the chunk count
+    # to split evenly across shards
+    bucket = int(
+        np.lcm.reduce([2 * chunk, 128 * max(n_shards, 1), chunk * max(n_shards, 1)])
+    )
+
     # group windows + targets per chromosome, pad to buckets
     data = {}
     for split, ds in splits.items():
@@ -537,7 +546,7 @@ def run_joint(cfg: Config, splits: Optional[Dict[str, WindowDataset]] = None, ve
         for chrom in ds.chrom_order():
             sel = ds.chroms == chrom
             n_valid = int(sel.sum())
-            n_pad = ft.bucket_nodes(n_valid, bucket=chunk * 2)
+            n_pad = ft.bucket_nodes(n_valid, bucket=bucket)
             per[chrom] = {
                 "tokens": ft.pad_rows(ds.tokens[sel].astype(np.int32), n_pad),
                 "targets": ft.pad_rows(ds.targets[sel].astype(np.float32), n_pad),
@@ -555,6 +564,16 @@ def run_joint(cfg: Config, splits: Optional[Dict[str, WindowDataset]] = None, ve
             split: artifact.load_graph_edges(cfg.graph_path(split))
             for split in splits
         }
+    place = jnp.asarray
+    mesh_g = None
+    if n_shards > 1:
+        from chromegcn_tpu.parallel.mesh import make_mesh, node_sharding
+        from chromegcn_tpu.parallel.multihost import put_global
+
+        mesh_g = make_mesh(n_shards, axis="graph")
+        sharding = node_sharding(mesh_g)
+        place = lambda arr: put_global(np.asarray(arr), sharding)
+        verbose(f"joint: node-sharded over {n_shards} devices")
     graphs = {}
     for split, per in data.items():
         graphs[split] = {}
@@ -565,7 +584,16 @@ def run_joint(cfg: Config, splits: Optional[Dict[str, WindowDataset]] = None, ve
                 n_pad=entry["tokens"].shape[0],
                 hic_edges=hic.get(split, {}).get(chrom) if hic else None,
             )
-            if use_bsr:
+            if mesh_g is not None:
+                from chromegcn_tpu.parallel.graph import shard_graph
+
+                strategy = cfg.graph_strategy
+                if strategy == "auto":
+                    strategy = "halo_bsr" if use_bsr else "halo"
+                g = shard_graph(
+                    g, mesh_g, strategy=strategy, spmm_dtype=cfg.spmm_dtype
+                )
+            elif use_bsr:
                 from chromegcn_tpu.ops.spmm_pallas import attach_bsr
 
                 g = attach_bsr(g)
@@ -613,8 +641,8 @@ def run_joint(cfg: Config, splits: Optional[Dict[str, WindowDataset]] = None, ve
         preds, targs = [], []
         total_loss = 0.0
         for chrom, entry in data[split].items():
-            tokens = jnp.asarray(entry["tokens"])
-            targets = jnp.asarray(entry["targets"])
+            tokens = place(entry["tokens"])
+            targets = place(entry["targets"])
             graph = graphs[split][chrom]
             if train:
                 rng, step = jax.random.split(rng)
