@@ -70,6 +70,9 @@ class Config:
     hicsize: str = "500000"        # 125000 | 250000 | 500000 | 1000000
     spmm_impl: str = "auto"
     spmm_dtype: str = "float32"  # float32 (parity) | bfloat16 (fast)
+    # fused gated-GCN-layer kernels (ops/gcn_fused.py): 'off' (default —
+    # a measured loss on this chip/backend, DESIGN.md §1) | 'on'
+    gcn_fused: str = "off"
     # f32-faithful GEMMs/convs by default: TPU's DEFAULT matmul precision is
     # one bf16 pass, which diverges ~1e-2 from the reference's f32 cuBLAS at
     # chromosome scale (measured — parity_chr.py caught it). 'high' (bf16x3)

@@ -352,7 +352,7 @@ def run_finetune(cfg: Config, verbose=print):
     model = make_chrome_model(
         cfg.chrome_model, nclass=n_targets, dropout=cfg.gcn_dropout,
         gate=cfg.gate, layers=cfg.gcn_layers, nfeat=cfg.d_model,
-        spmm_impl=cfg.spmm_impl,
+        spmm_impl=cfg.spmm_impl, fused=cfg.gcn_fused,
     )
     optim_name, lr = cfg.gcn_optim_and_lr()
     tx = make_optimizer(optim_name, lr)
@@ -609,7 +609,7 @@ def run_joint(cfg: Config, splits: Optional[Dict[str, WindowDataset]] = None, ve
     cmodel = make_chrome_model(
         cfg.chrome_model, nclass=n_targets, dropout=cfg.gcn_dropout,
         gate=cfg.gate, layers=cfg.gcn_layers, nfeat=cfg.d_model,
-        spmm_impl=cfg.spmm_impl,
+        spmm_impl=cfg.spmm_impl, fused=cfg.gcn_fused,
     )
     optim2, lr2 = cfg.gcn_optim_and_lr()
     cstate = ft.create_chrome_state(
