@@ -66,8 +66,12 @@ def compute_metrics(
             out[f"{gname}_meanFDR"] = metrics.fdr(t, p)[0]
 
     mean_auc, median_auc, _, all_auc = metrics.auroc(targets, predictions)
-    mean_aupr, median_aupr, _, all_aupr = metrics.aupr(targets, predictions)
-    mean_fdr, median_fdr, _, all_fdr = metrics.fdr(targets, predictions)
+    # one PR-curve pass feeds both AUPR and FDR (metrics.aupr_and_fdr) —
+    # per-epoch metric passes at 919 labels dominate GCN-stage wall-clock
+    (
+        (mean_aupr, median_aupr, _, all_aupr),
+        (mean_fdr, median_fdr, _, all_fdr),
+    ) = metrics.aupr_and_fdr(targets, predictions)
     out["mAP"] = metrics.mean_average_precision(targets, predictions)
     out["meanAUC"] = mean_auc
     out["medianAUC"] = median_auc

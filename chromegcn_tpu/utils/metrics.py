@@ -18,68 +18,113 @@ sklearn calls below are faster anyway.
 from __future__ import annotations
 
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 from sklearn import metrics as skmetrics
 
 
-def auroc(targets: np.ndarray, preds: np.ndarray) -> Tuple[float, float, float, np.ndarray]:
-    """Per-label ROC AUC; returns (mean, median, var, all)."""
-    out = []
-    for i in range(targets.shape[1]):
-        try:
-            v = skmetrics.roc_auc_score(targets[:, i], preds[:, i])
-            if not math.isnan(v):
-                out.append(v)
-        except ValueError:
-            pass
+def _summary(out) -> Tuple[float, float, float, np.ndarray]:
     arr = np.asarray(out)
     if arr.size == 0:
         return float("nan"), float("nan"), float("nan"), arr
     return float(arr.mean()), float(np.median(arr)), float(arr.var()), arr
+
+
+def _pr_curve_one(t: np.ndarray, p: np.ndarray):
+    """(precision, recall) exactly as sklearn.precision_recall_curve
+    (pos_label=1) returns them: recall decreasing from full recall down to
+    the highest threshold, with the (1, 0) endpoint appended and the curve
+    cut at the first full-recall point. All-negative labels reproduce
+    sklearn's degenerate ([0, 1], [1, 0]) curve — the sklearn-based
+    implementation this replaces recorded AUPR 0.5 / FDR-recall 0.0 for
+    them (not a skip), and exactness against it is pinned in tests."""
+    order = np.argsort(p, kind="stable")[::-1]
+    ts = t[order]
+    ps = p[order]
+    distinct = np.nonzero(np.r_[ps[1:] != ps[:-1], True])[0]
+    tps = np.cumsum(ts)[distinct]
+    if tps[-1] == 0:
+        return np.asarray([0.0, 1.0]), np.asarray([1.0, 0.0])
+    fps = distinct + 1 - tps
+    last = int(np.searchsorted(tps, tps[-1]))
+    precision = tps[: last + 1] / (tps[: last + 1] + fps[: last + 1])
+    recall = tps[: last + 1] / tps[-1]
+    precision = np.r_[precision[::-1], 1.0]
+    recall = np.r_[recall[::-1], 0.0]
+    return precision, recall
+
+
+def auroc(targets: np.ndarray, preds: np.ndarray) -> Tuple[float, float, float, np.ndarray]:
+    """Per-label ROC AUC; returns (mean, median, var, all).
+
+    Computed as the tie-corrected Mann-Whitney U statistic (midranks),
+    identical to sklearn's trapezoidal roc_auc_score — pinned exact
+    against sklearn incl. heavy ties in tests/test_aux.py. Single-class
+    labels are skipped (sklearn raises there; the reference swallows it).
+    The vectorized form exists because per-epoch metric passes at 919
+    labels dominate GCN-stage wall-clock (measured in E2E_r03)."""
+    out = []
+    t64 = np.asarray(targets, np.float64)
+    for i in range(targets.shape[1]):
+        t = t64[:, i]
+        npos = t.sum()
+        n = t.shape[0]
+        nneg = n - npos
+        if npos == 0 or nneg == 0:
+            continue
+        p = preds[:, i]
+        order = np.argsort(p, kind="stable")
+        sp = p[order]
+        starts = np.nonzero(np.r_[True, sp[1:] != sp[:-1]])[0]
+        ends = np.r_[starts[1:], n]
+        mid = (starts + ends - 1) / 2.0 + 1.0  # average 1-based rank
+        ranks = np.empty(n)
+        ranks[order] = np.repeat(mid, ends - starts)
+        u = ranks[t > 0].sum() - npos * (npos + 1) / 2.0
+        v = u / (npos * nneg)
+        if not math.isnan(v):
+            out.append(v)
+    return _summary(out)
+
+
+def _aupr_fdr(targets, preds, fdr_cutoff: float = 0.5):
+    """Both PR-derived metric vectors from ONE curve pass per label (the
+    previous sklearn implementation built the identical curve twice)."""
+    auprs, fdrs = [], []
+    t64 = np.asarray(targets, np.float64)
+    for i in range(targets.shape[1]):
+        precision, recall = _pr_curve_one(t64[:, i], preds[:, i])
+        # sklearn.auc(recall, precision): trapezoid over decreasing x
+        v = float(-np.trapezoid(precision, recall))
+        if not math.isnan(v):
+            auprs.append(np.nan_to_num(v))
+        hit = np.nonzero(1.0 - precision <= fdr_cutoff)[0]
+        if hit.size:
+            r = recall[hit[0]]
+            if not math.isnan(r):
+                fdrs.append(np.nan_to_num(r))
+    return auprs, fdrs
 
 
 def aupr(targets: np.ndarray, preds: np.ndarray) -> Tuple[float, float, float, np.ndarray]:
-    """Per-label PR AUC via trapezoid on the PR curve; (mean, median, var, all)."""
-    out = []
-    for i in range(targets.shape[1]):
-        try:
-            precision, recall, _ = skmetrics.precision_recall_curve(
-                targets[:, i], preds[:, i], pos_label=1
-            )
-            v = skmetrics.auc(recall, precision)
-            if not math.isnan(v):
-                out.append(np.nan_to_num(v))
-        except Exception:
-            pass
-    arr = np.asarray(out)
-    if arr.size == 0:
-        return float("nan"), float("nan"), float("nan"), arr
-    return float(arr.mean()), float(np.median(arr)), float(arr.var()), arr
+    """Per-label PR AUC via trapezoid on the PR curve; (mean, median, var, all).
+    Exact-match vectorization of the sklearn curve (see _pr_curve_one)."""
+    return _summary(_aupr_fdr(targets, preds)[0])
 
 
 def fdr(
     targets: np.ndarray, preds: np.ndarray, fdr_cutoff: float = 0.5
 ) -> Tuple[float, float, float, np.ndarray]:
     """Recall at the first PR-curve point with FDR <= cutoff; (mean, median, var, all)."""
-    out = []
-    for i in range(targets.shape[1]):
-        try:
-            precision, recall, _ = skmetrics.precision_recall_curve(
-                targets[:, i], preds[:, i], pos_label=1
-            )
-            fdr_curve = 1.0 - precision
-            cutoff_index = next(k for k, x in enumerate(fdr_curve) if x <= fdr_cutoff)
-            v = recall[cutoff_index]
-            if not math.isnan(v):
-                out.append(np.nan_to_num(v))
-        except Exception:
-            pass
-    arr = np.asarray(out)
-    if arr.size == 0:
-        return float("nan"), float("nan"), float("nan"), arr
-    return float(arr.mean()), float(np.median(arr)), float(arr.var()), arr
+    return _summary(_aupr_fdr(targets, preds, fdr_cutoff)[1])
+
+
+def aupr_and_fdr(targets, preds, fdr_cutoff: float = 0.5):
+    """(aupr summary, fdr summary) sharing one PR-curve pass — used by
+    evals.compute_metrics so each epoch builds each label's curve once."""
+    a, f = _aupr_fdr(targets, preds, fdr_cutoff)
+    return _summary(a), _summary(f)
 
 
 def mean_average_precision(targets: np.ndarray, preds: np.ndarray) -> float:
