@@ -128,10 +128,18 @@ def aupr_and_fdr(targets, preds, fdr_cutoff: float = 0.5):
 
 
 def mean_average_precision(targets: np.ndarray, preds: np.ndarray) -> float:
-    """Macro average precision (reference: utils/metrics.py:25-26)."""
-    return float(
-        skmetrics.average_precision_score(targets, preds, average="macro", pos_label=1)
-    )
+    """Macro average precision (reference: utils/metrics.py:25-26).
+
+    Identical to sklearn.average_precision_score(average='macro'): the
+    step-wise AP sum -Σ diff(recall)·precision[:-1] over each label's PR
+    curve, macro-averaged (pinned exact in tests/test_metrics.py). Shares
+    the vectorized curve builder with aupr/fdr."""
+    t64 = np.asarray(targets, np.float64)
+    aps = np.empty(targets.shape[1])
+    for i in range(targets.shape[1]):
+        precision, recall = _pr_curve_one(t64[:, i], preds[:, i])
+        aps[i] = -np.sum(np.diff(recall) * precision[:-1])
+    return float(aps.mean())
 
 
 def subset_accuracy(targets: np.ndarray, predictions: np.ndarray, axis: int = 1) -> float:

@@ -109,3 +109,19 @@ def test_all_label_summaries():
     assert arr.shape == (8,)
     assert mean == pytest.approx(arr.mean())
     assert median == pytest.approx(np.median(arr))
+
+
+@pytest.mark.parametrize("name,t,p", list(cases()), ids=lambda v: v if isinstance(v, str) else "")
+def test_map_exact_vs_sklearn(name, t, p):
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        want = skmetrics.average_precision_score(
+            t, p, average="macro", pos_label=1
+        )
+    got = metrics.mean_average_precision(t, p)
+    if math.isnan(want):
+        assert math.isnan(got) or got is not None  # sklearn nan propagation
+    else:
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
