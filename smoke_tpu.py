@@ -46,6 +46,9 @@ def main() -> None:
     from chromegcn_tpu.parallel.mesh import make_mesh
 
     print(f"backend: {jax.default_backend()}", flush=True)
+    # the kernels run HIGHEST-precision dots internally; the XLA oracles
+    # must match (TPU's DEFAULT is a single bf16 pass, ~1e-2 off)
+    jax.config.update("jax_default_matmul_precision", "highest")
     n_valid, n_pad, d = 2000, 2048, 128
     s, r, v = make_hic_edges(n_valid, 10_000, seed=0)
     graph = build_chrom_graph("hic", n_valid=n_valid, n_pad=n_pad,
