@@ -169,8 +169,15 @@ class ChromeGCN(nn.Module):
         graph: Optional[SparseGraph],
         train: bool,
         node_mask: Optional[jax.Array] = None,
+        skip_head: bool = False,
     ) -> Tuple[jax.Array, jax.Array, Tuple[jax.Array, Optional[jax.Array]]]:
-        """Returns (x_refined, logits, (gate1, gate2)) for N x d node features."""
+        """Returns (x_refined, logits, (gate1, gate2)) for N x d node features.
+
+        ``skip_head=True`` returns the post-dropout penultimate features
+        in place of logits (the final Dense is linear, so strand-averaged
+        logits == head applied ONCE to strand-averaged features — the
+        train/eval steps exploit this to halve the (N, d) x (d, nclass)
+        head GEMMs; exactness pinned in tests/test_chrome_models.py)."""
         if node_mask is None and graph is not None:
             node_mask = graph.node_mask
 
@@ -214,6 +221,8 @@ class ChromeGCN(nn.Module):
             h, use_running_average=not train, mask=node_mask
         )
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        if skip_head:
+            return x, h, (g, g2)
         out = nn.Dense(self.nclass, name="out")(h)
         return x, out, (g, g2)
 
@@ -239,6 +248,7 @@ class ChromeRNN(nn.Module):
         graph: Optional[SparseGraph],
         train: bool,
         node_mask: Optional[jax.Array] = None,
+        skip_head: bool = False,
     ) -> Tuple[jax.Array, jax.Array, Tuple[Optional[jax.Array], Optional[jax.Array]]]:
         if node_mask is None and graph is not None:
             node_mask = graph.node_mask
@@ -256,6 +266,8 @@ class ChromeRNN(nn.Module):
             h, use_running_average=not train, mask=node_mask
         )
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        if skip_head:
+            return x_in, h, (None, None)
         out = nn.Dense(self.nclass, name="out")(h)
         return x_in, out, (None, None)
 

@@ -88,21 +88,30 @@ def chrome_train_step(
     (reference: finetune.py:41-45; BatchNorm statistics update per pass as
     in torch). A strand-stacked (N, 2, d) single-pass variant exists in the
     model (models/chrome.py) — measured neutral-to-slower on the Pallas
-    kernel at d=128, so the steps keep the parity-exact sequential form."""
+    kernel at d=128, so the steps keep the parity-exact sequential form.
+
+    The final Dense head is linear, so averaging the two strands' LOGITS
+    (the reference's contract) equals applying the head ONCE to the
+    averaged post-dropout features: the steps run the model with
+    ``skip_head=True`` per strand and apply the head once — exact to fp
+    associativity (pinned in tests/test_chrome_models.py), and it halves
+    the (N, d) x (d, nclass) head GEMMs in forward AND backward (the
+    largest XLA-side GEMMs of the step at nclass=919)."""
     rng_f, rng_r = jax.random.split(rng)
 
     def loss_fn(params):
         variables = {"params": params, "batch_stats": state.batch_stats}
-        (_, pred_f, _), upd = state.apply_fn(
-            variables, x_f, graph, train=True,
+        (_, h_f, _), upd = state.apply_fn(
+            variables, x_f, graph, train=True, skip_head=True,
             mutable=["batch_stats"], rngs={"dropout": rng_f},
         )
         variables = {"params": params, "batch_stats": upd["batch_stats"]}
-        (_, pred_r, _), upd = state.apply_fn(
-            variables, x_r, graph, train=True,
+        (_, h_r, _), upd = state.apply_fn(
+            variables, x_r, graph, train=True, skip_head=True,
             mutable=["batch_stats"], rngs={"dropout": rng_r},
         )
-        pred = (pred_f + pred_r) / 2.0
+        h = (h_f + h_r) / 2.0
+        pred = h @ params["out"]["kernel"] + params["out"]["bias"]
         loss = bce_with_logits(pred, targets, graph.node_mask)
         return loss, (pred, upd["batch_stats"])
 
@@ -123,9 +132,12 @@ def chrome_eval_step(
     targets: jax.Array,
 ) -> Tuple[jax.Array, jax.Array]:
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    _, pred_f, _ = state.apply_fn(variables, x_f, graph, train=False)
-    _, pred_r, _ = state.apply_fn(variables, x_r, graph, train=False)
-    pred = (pred_f + pred_r) / 2.0
+    # head applied once to averaged features == averaged logits (linear
+    # head; see chrome_train_step docstring)
+    _, h_f, _ = state.apply_fn(variables, x_f, graph, train=False, skip_head=True)
+    _, h_r, _ = state.apply_fn(variables, x_r, graph, train=False, skip_head=True)
+    h = (h_f + h_r) / 2.0
+    pred = h @ state.params["out"]["kernel"] + state.params["out"]["bias"]
     loss = bce_with_logits(pred, targets, graph.node_mask)
     return loss, jax.nn.sigmoid(pred)
 

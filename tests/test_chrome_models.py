@@ -219,3 +219,33 @@ def test_chromegcn_strand_stacked_matches_per_strand():
     )
     np.testing.assert_allclose(np.asarray(p_stacked[:, 0]), np.asarray(p_f), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(p_stacked[:, 1]), np.asarray(p_r), rtol=1e-5, atol=1e-5)
+
+
+def test_skip_head_linearity():
+    """skip_head + one head GEMM on averaged features == averaged logits
+    (the head is linear; the train/eval steps rely on this identity)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chromegcn_tpu.models.chrome import ChromeGCN
+    from chromegcn_tpu.ops.sparse import build_chrom_graph
+
+    d, n = 16, 64
+    rng = np.random.default_rng(0)
+    graph = build_chrom_graph("constant", n_valid=60, n_pad=n)
+    model = ChromeGCN(nfeat=d, nhid=d, nclass=9, dropout=0.0, layers=2)
+    x_f = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    x_r = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x_f, graph, train=False)
+
+    _, l_f, _ = model.apply(variables, x_f, graph, train=False)
+    _, l_r, _ = model.apply(variables, x_r, graph, train=False)
+    avg_logits = (l_f + l_r) / 2.0
+
+    _, h_f, _ = model.apply(variables, x_f, graph, train=False, skip_head=True)
+    _, h_r, _ = model.apply(variables, x_r, graph, train=False, skip_head=True)
+    h = (h_f + h_r) / 2.0
+    p = variables["params"]["out"]
+    once = h @ p["kernel"] + p["bias"]
+    np.testing.assert_allclose(once, avg_logits, rtol=1e-5, atol=1e-6)
