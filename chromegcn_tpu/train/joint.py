@@ -99,17 +99,20 @@ def joint_train_step(
             keys, chunk_size, graph, train=True,
         )
 
+        # linear head applied once to averaged features == averaged
+        # strand logits (see train/finetune.chrome_train_step docstring)
         cvars = {"params": cparams, "batch_stats": cstate.batch_stats}
-        (_, pred_f, _), upd = cstate.apply_fn(
-            cvars, x_f, graph, train=True,
+        (_, h_f, _), upd = cstate.apply_fn(
+            cvars, x_f, graph, train=True, skip_head=True,
             mutable=["batch_stats"], rngs={"dropout": rng_f},
         )
         cvars = {"params": cparams, "batch_stats": upd["batch_stats"]}
-        (_, pred_r, _), upd = cstate.apply_fn(
-            cvars, x_r, graph, train=True,
+        (_, h_r, _), upd = cstate.apply_fn(
+            cvars, x_r, graph, train=True, skip_head=True,
             mutable=["batch_stats"], rngs={"dropout": rng_r},
         )
-        pred = (pred_f + pred_r) / 2.0
+        h = (h_f + h_r) / 2.0
+        pred = h @ cparams["out"]["kernel"] + cparams["out"]["bias"]
         loss = bce_with_logits(pred, targets, graph.node_mask)
         return loss, upd["batch_stats"]
 
@@ -141,8 +144,10 @@ def joint_eval_step(
     )
 
     cvars = {"params": cstate.params, "batch_stats": cstate.batch_stats}
-    _, pred_f, _ = cstate.apply_fn(cvars, x_f, graph, train=False)
-    _, pred_r, _ = cstate.apply_fn(cvars, x_r, graph, train=False)
-    pred = (pred_f + pred_r) / 2.0
+    _, h_f, _ = cstate.apply_fn(cvars, x_f, graph, train=False, skip_head=True)
+    _, h_r, _ = cstate.apply_fn(cvars, x_r, graph, train=False, skip_head=True)
+    h = (h_f + h_r) / 2.0
+    p = cstate.params["out"]
+    pred = h @ p["kernel"] + p["bias"]
     loss = bce_with_logits(pred, targets, graph.node_mask)
     return loss, jax.nn.sigmoid(pred)
