@@ -1,24 +1,30 @@
 """Evaluation metrics: per-label AUROC / AUPR / recall-at-50%-FDR, mAP, F1s.
 
-Host-side sklearn implementations matching the reference's semantics
-(reference: utils/metrics.py:25-303), including:
-- skipping labels where the metric is undefined (single-class columns raise
+Host-side vectorized-numpy implementations matching the reference's
+sklearn semantics EXACTLY (reference: utils/metrics.py:25-303; pinned to
+1e-12 against the sklearn formulations in tests/test_metrics.py),
+including:
+- skipping labels where AUROC is undefined (single-class columns raise
   in sklearn and the reference swallows them — utils/metrics.py:243-247),
 - "FDR" = recall at the first threshold where FDR (=1-precision) <= 0.5
   (reference: utils/metrics.py:148-165),
 - AUPR via the (recall, precision) trapezoid, not average_precision
-  (reference: utils/metrics.py:172-173).
+  (reference: utils/metrics.py:172-173),
+- sklearn's degenerate all-negative PR curve (AUPR 0.5 / FDR-recall 0).
+
+Why not plain sklearn calls: per-epoch metric passes at 919 labels
+dominated GCN-stage wall-clock (E2E_r03); one shared PR-curve pass +
+midrank AUROC runs 2.5x faster with identical outputs.
 
 The reference also ships *threaded* AUROC/AUPR variants with a bug (every
 thread computes all labels — utils/metrics.py:119). They are dead code in
-the reference and deliberately not reproduced; ``joblib``-free vectorized
-sklearn calls below are faster anyway.
+the reference and deliberately not reproduced.
 """
 
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 from sklearn import metrics as skmetrics
@@ -60,10 +66,9 @@ def auroc(targets: np.ndarray, preds: np.ndarray) -> Tuple[float, float, float, 
 
     Computed as the tie-corrected Mann-Whitney U statistic (midranks),
     identical to sklearn's trapezoidal roc_auc_score — pinned exact
-    against sklearn incl. heavy ties in tests/test_aux.py. Single-class
-    labels are skipped (sklearn raises there; the reference swallows it).
-    The vectorized form exists because per-epoch metric passes at 919
-    labels dominate GCN-stage wall-clock (measured in E2E_r03)."""
+    against sklearn incl. heavy ties in tests/test_metrics.py.
+    Single-class labels are skipped (sklearn raises there; the reference
+    swallows it)."""
     out = []
     t64 = np.asarray(targets, np.float64)
     for i in range(targets.shape[1]):
