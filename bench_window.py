@@ -67,9 +67,14 @@ def bench_precision(precision, model_name, iters=20):
             lambda st: jax.lax.fori_loop(0, iters, body, (st, jnp.float32(0)))
         )
         jax.block_until_ready(f(state))
-        t0 = time.perf_counter()
-        jax.block_until_ready(f(state))
-        return (time.perf_counter() - t0) / iters
+        # median-of-5 launches: single-shot timings scatter ±15% on this
+        # backend (DESIGN.md §7)
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(state))
+            times.append((time.perf_counter() - t0) / iters)
+        return float(np.median(times))
 
 
 def main():
