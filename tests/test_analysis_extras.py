@@ -116,3 +116,52 @@ def test_label_degree_weights_multi_chrom_and_nan():
     assert np.isnan(w[1]) and np.isnan(w[2])  # labels never positive -> NaN
     with pytest.raises(ValueError):
         label_degree_weights([g1], [t1, t2])
+
+
+def test_hichip_to_graph_to_spmm_end_to_end(tmp_path):
+    """D14 chained into the runtime: allValidPairs -> per-chrom binned
+    contacts (banker's rounding) -> SparseGraph -> SpMM, plus RCM
+    reordering (ops/reorder.py exists precisely for non-genomic contact
+    maps like HiChIP) preserving the SpMM result under permutation."""
+    import jax.numpy as jnp
+
+    from chromegcn_tpu.ops import reorder
+    from chromegcn_tpu.ops.sparse import build_chrom_graph
+    from chromegcn_tpu.ops.spmm import spmm_xla
+
+    rng = np.random.default_rng(0)
+    n_bins = 40
+    rows = []
+    for i in range(600):
+        b1, b2 = rng.integers(0, n_bins, 2)
+        if b1 == b2:
+            continue
+        rows.append(
+            ("r%d" % i, "chr9", str(int(b1) * 1000 + 100), "+",
+             "chr9", str(int(b2) * 1000 + 100), "-", "0")
+        )
+    path = tmp_path / "big.allValidPairs"
+    path.write_text("\n".join("\t".join(r) for r in rows) + "\n")
+
+    b1, b2, cnt = hichip.hichip_edges(str(path), "chr9", resolution=1000)
+    assert len(b1) > 50 and cnt.max() >= 1
+    senders = np.concatenate([b1, b2]).astype(np.int32)
+    receivers = np.concatenate([b2, b1]).astype(np.int32)
+    vals = np.concatenate([cnt, cnt]).astype(np.float32)
+    graph = build_chrom_graph(
+        "hic", n_valid=n_bins, n_pad=64, hic_edges=(senders, receivers, vals)
+    )
+    x = jnp.asarray(rng.normal(size=(64, 8)).astype(np.float32))
+    out = spmm_xla(graph, x)
+    # row-normalized adjacency: valid connected rows sum to 1
+    sums = np.asarray(spmm_xla(graph, jnp.ones((64, 1), jnp.float32)))[:, 0]
+    deg = np.bincount(receivers, minlength=64) + 1  # + self loop
+    assert np.allclose(sums[:n_bins], 1.0, atol=1e-5)
+
+    # RCM permutation: permuted graph + permuted features == permuted output
+    order = reorder.rcm_permutation(graph)
+    pg = reorder.permute_graph(graph, order)
+    out_p = spmm_xla(pg, x[order])
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out)[order], rtol=1e-5, atol=1e-5
+    )
