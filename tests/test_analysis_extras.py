@@ -155,8 +155,8 @@ def test_hichip_to_graph_to_spmm_end_to_end(tmp_path):
     out = spmm_xla(graph, x)
     # row-normalized adjacency: valid connected rows sum to 1
     sums = np.asarray(spmm_xla(graph, jnp.ones((64, 1), jnp.float32)))[:, 0]
-    deg = np.bincount(receivers, minlength=64) + 1  # + self loop
     assert np.allclose(sums[:n_bins], 1.0, atol=1e-5)
+    assert out.shape == (64, 8)
 
     # RCM permutation: permuted graph + permuted features == permuted output
     order = reorder.rcm_permutation(graph)
