@@ -109,7 +109,7 @@ HBM_BYTES_PER_S = 819e9
 BLOCK_STREAM_ELEMS_PER_S = 20e9
 
 
-def bench_roofline(graph_bsr, iters=50, repeats=5):
+def bench_roofline(graph_bsr, n_edges=None, iters=50, repeats=5):
     """Kernel-only SpMM timing (single-dispatch fori loop — the only timing
     this backend reports honestly, DESIGN.md §7) + streamed-traffic
     accounting, reported as % of the two roofline candidates. Median of
@@ -137,7 +137,7 @@ def bench_roofline(graph_bsr, iters=50, repeats=5):
     total_bytes = block_bytes + acct["x_out_elems"] * 4
     hbm_bound_s = total_bytes / HBM_BYTES_PER_S
     stream_bound_s = acct["block_elems"] / BLOCK_STREAM_ELEMS_PER_S
-    return {
+    out = {
         "spmm_ms": round(dt * 1e3, 4),
         "spmm_ms_spread": [round(t * 1e3, 4) for t in sorted(times)],
         "streamed_block_elems": acct["block_elems"],
@@ -145,6 +145,17 @@ def bench_roofline(graph_bsr, iters=50, repeats=5):
         "pct_of_block_stream_bound": round(100 * stream_bound_s / dt, 1),
         "pct_of_hbm_roofline": round(100 * hbm_bound_s / dt, 1),
     }
+    if n_edges:
+        # block occupancy: how many streamed block elements each edge costs
+        # (the gap to the nominal-HBM roofline is occupancy, not rate —
+        # VERDICT r3 weak 1; swept below 128-row tiles in bench_tiles.py)
+        out["edges_per_streamed_element"] = round(
+            n_edges / acct["block_elems"], 4
+        )
+        out["streamed_elems_per_edge"] = round(
+            acct["block_elems"] / n_edges, 1
+        )
+    return out
 
 
 def main():
@@ -190,7 +201,7 @@ def main():
 
     roofline = None
     if "pallas" in results:
-        roofline = bench_roofline(graph_bsr)
+        roofline = bench_roofline(graph_bsr, n_edges=n_edges)
 
     parity = {
         k: v for k, v in results.items() if k not in ("pallas_bf16",)

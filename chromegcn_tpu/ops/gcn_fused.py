@@ -76,6 +76,9 @@ def fused_fits(op: BSROperator, d: int) -> bool:
 
 def _row_blocks(n: int):
     blk = _ROW_BLK if n % _ROW_BLK == 0 else 128
+    if n % blk != 0:  # fail loudly: a silent remainder would leave tail
+        # rows of the epilogue un-activated (ADVICE r3)
+        raise ValueError(f"n_rows={n} is not a multiple of row block {blk}")
     return blk, n // blk
 
 

@@ -144,10 +144,13 @@ def _build_one_direction(
         tkeys, k_strips = np.unique(tile_of_strip, return_counts=True)
         # every edge-bearing tile region appears in both uniq and tkeys
         k = k_strips[np.searchsorted(tkeys, uniq)]
-        # scale break-even with tile area relative to the measured 128x128;
-        # clamp to >=1 so small tiles don't densify every edge-bearing region
+        # scale break-even with tile area relative to the measured 128x128,
+        # rounding UP: floor would give threshold 1 at 32x128 (6*0.25 -> 1),
+        # densifying every edge-bearing region; ceil (6*0.25 -> 2) keeps the
+        # cost model monotone at sub-128 tile heights (round-4 sweep,
+        # bench_tiles.py / DESIGN.md §1)
         is_dense = k >= max(
-            1, AUTO_BREAKEVEN_STRIPS * (tile_r * tile_c) // (128 * 128)
+            1, -(-AUTO_BREAKEVEN_STRIPS * (tile_r * tile_c) // (128 * 128))
         )
     else:
         is_dense = counts >= min_edges_per_tile

@@ -81,10 +81,19 @@ def put_global(arr, sharding: NamedSharding, *, already_local: bool = False):
         return jax.device_put(arr, sharding)
     arr = np.asarray(arr)
     if already_local:
-        lo, hi = 0, arr.shape[0]
-        # global extent comes from the sharding's process count
+        # global extent comes from the sharding's process count; verify the
+        # derived shape against the sharding's actual per-process row
+        # assignment — an unequal/non-contiguous layout would otherwise
+        # produce a consistent-but-wrong global shape silently (ADVICE r3)
         n_global = arr.shape[0] * jax.process_count()
         global_shape = (n_global,) + arr.shape[1:]
+        lo, hi = local_row_range(sharding, global_shape)
+        if hi - lo != arr.shape[0]:
+            raise ValueError(
+                f"already_local shard has {arr.shape[0]} rows but the "
+                f"sharding assigns rows [{lo}, {hi}) ({hi - lo}) to this "
+                f"process for derived global shape {global_shape}"
+            )
         return jax.make_array_from_process_local_data(
             sharding, arr, global_shape
         )

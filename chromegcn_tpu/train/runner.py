@@ -140,7 +140,6 @@ def run_pretrain(cfg: Config, splits: Dict[str, WindowDataset], verbose=print):
         verbose(f"restored window checkpoint from {run_dir}")
 
     tracker = BestTracker()
-    logger = EpochLogger(run_dir)
     score_history = []
 
     start_epoch = 1
@@ -160,6 +159,7 @@ def run_pretrain(cfg: Config, splits: Dict[str, WindowDataset], verbose=print):
         )
         start_epoch = int(restored["epoch"]) + 1
         verbose(f"resumed pretraining at epoch {start_epoch}")
+    logger = EpochLogger(run_dir, append=start_epoch > 1)
 
     for epoch in range(start_epoch, cfg.epochs + 1):
         lr = steplr_lr(cfg.lr, epoch, cfg.lr_decay2 > 0, cfg.lr_step_size2)
@@ -212,9 +212,13 @@ def run_pretrain(cfg: Config, splits: Dict[str, WindowDataset], verbose=print):
                 if split_name == "test":
                     feats = test_feats
                 else:
+                    # shard_batch must follow the DP placement here too —
+                    # without it a pod run would dump train/valid features
+                    # from unsharded (host-misplaced) batches (round-4 fix;
+                    # the test pass at the epoch top already sharded)
                     _, _, _, _, feats = pt.run_window_epoch(
                         state, ds, comp_map, cfg.test_batch_size, train=False,
-                        collect_features=True,
+                        collect_features=True, shard_batch=shard,
                     )
                 save_chrom_features(cfg.feature_path(split_name), feats)
                 verbose(f"saved features: {cfg.feature_path(split_name)}")
@@ -403,7 +407,7 @@ def run_finetune(cfg: Config, verbose=print):
         verbose("warm-started GCN head from CNN checkpoint")
 
     tracker = BestTracker()
-    logger = EpochLogger(run_dir)
+    logger = EpochLogger(run_dir, append=start_epoch > 1)
     score_history = []
 
     for epoch in range(start_epoch, cfg.epochs + 1):
@@ -617,8 +621,44 @@ def run_joint(cfg: Config, splits: Optional[Dict[str, WindowDataset]] = None, ve
         nfeat=cfg.d_model,
     )
 
+    run_dir = cfg.run_dir + ".joint"
+
+    def _joint_payload():
+        return {
+            "window": {
+                "params": ckpt.tree_to_numpy(wstate.params),
+                "batch_stats": ckpt.tree_to_numpy(wstate.batch_stats),
+                "opt_state": ckpt.tree_to_numpy(wstate.opt_state),
+            },
+            "chrome": {
+                "params": ckpt.tree_to_numpy(cstate.params),
+                "batch_stats": ckpt.tree_to_numpy(cstate.batch_stats),
+                "opt_state": ckpt.tree_to_numpy(cstate.opt_state),
+            },
+        }
+
+    start_epoch = 1
+    if cfg.resume and ckpt.checkpoint_exists(run_dir):
+        # true joint resume: both stages' params + batch stats + optimizer
+        # state + epoch (round-4; mirrors run_finetune's resume path —
+        # the reference has no joint training at all, main.py:83)
+        restored = ckpt.restore_checkpoint(
+            run_dir, template=jax.device_get(_joint_payload())
+        )
+        wstate = wstate.replace(
+            params=restored["window"]["params"],
+            batch_stats=restored["window"]["batch_stats"],
+            opt_state=restored["window"]["opt_state"],
+        )
+        cstate = cstate.replace(
+            params=restored["chrome"]["params"],
+            batch_stats=restored["chrome"]["batch_stats"],
+            opt_state=restored["chrome"]["opt_state"],
+        )
+        start_epoch = int(restored["epoch"]) + 1
+        verbose(f"resumed joint training at epoch {start_epoch}")
     # warm-start both stages from the pretrain checkpoint when available
-    if ckpt.checkpoint_exists(cfg.stage1_run_dir):
+    elif ckpt.checkpoint_exists(cfg.stage1_run_dir):
         cnn = ckpt.restore_checkpoint(cfg.stage1_run_dir)
         wstate = wstate.replace(
             params=jax.tree_util.tree_map(jnp.asarray, cnn["params"]),
@@ -630,10 +670,9 @@ def run_joint(cfg: Config, splits: Optional[Dict[str, WindowDataset]] = None, ve
         cstate = cstate.replace(params=params, batch_stats=stats)
         verbose("joint: warm-started CNN + GCN head from pretrain checkpoint")
 
-    run_dir = cfg.run_dir + ".joint"
     os.makedirs(run_dir, exist_ok=True)
     tracker = BestTracker()
-    logger = EpochLogger(run_dir)
+    logger = EpochLogger(run_dir, append=start_epoch > 1)
     rng = jax.random.PRNGKey(cfg.seed + 2)
 
     def run_split(split, train):
@@ -664,7 +703,7 @@ def run_joint(cfg: Config, splits: Optional[Dict[str, WindowDataset]] = None, ve
             return np.concatenate(preds), np.concatenate(targs), total_loss
         return None, None, total_loss
 
-    for epoch in range(1, cfg.epochs + 1):
+    for epoch in range(start_epoch, cfg.epochs + 1):
         t0 = time.time()
         _, _, train_loss = run_split("train", train=True)
         v_preds, v_targs, valid_loss = run_split("valid", train=False)
@@ -683,20 +722,7 @@ def run_joint(cfg: Config, splits: Optional[Dict[str, WindowDataset]] = None, ve
         logger.log("test", epoch, test_loss, test_metrics)
         score = selection_score(valid_metrics)
         if logger.maybe_snapshot(epoch, valid_loss, score, v_preds, v_targs, t_preds, t_targs):
-            ckpt.save_checkpoint(
-                run_dir,
-                {
-                    "window": {
-                        "params": ckpt.tree_to_numpy(wstate.params),
-                        "batch_stats": ckpt.tree_to_numpy(wstate.batch_stats),
-                    },
-                    "chrome": {
-                        "params": ckpt.tree_to_numpy(cstate.params),
-                        "batch_stats": ckpt.tree_to_numpy(cstate.batch_stats),
-                    },
-                },
-                epoch,
-            )
+            ckpt.save_checkpoint(run_dir, _joint_payload(), epoch)
         verbose(
             f"epoch {epoch}: joint test meanAUC={test_metrics['meanAUC']:.4f} "
             f"meanAUPR={test_metrics['meanAUPR']:.4f} loss={test_loss:.3f}"

@@ -62,8 +62,10 @@ def compute_metrics(
                 continue
             p, t = predictions[:, idx], targets[:, idx]
             out[f"{gname}_meanAUC"] = metrics.auroc(t, p)[0]
-            out[f"{gname}_meanAUPR"] = metrics.aupr(t, p)[0]
-            out[f"{gname}_meanFDR"] = metrics.fdr(t, p)[0]
+            # one shared PR-curve pass per group, same as the global metrics
+            (aupr_g, _, _, _), (fdr_g, _, _, _) = metrics.aupr_and_fdr(t, p)
+            out[f"{gname}_meanAUPR"] = aupr_g
+            out[f"{gname}_meanFDR"] = fdr_g
 
     mean_auc, median_auc, _, all_auc = metrics.auroc(targets, predictions)
     # one PR-curve pass feeds both AUPR and FDR (metrics.aupr_and_fdr) —
@@ -149,12 +151,13 @@ class BestTracker:
 class EpochLogger:
     """Per-epoch CSV logs + best prediction snapshots."""
 
-    def __init__(self, run_dir: str):
+    def __init__(self, run_dir: str, append: bool = False):
         self.run_dir = run_dir
         os.makedirs(run_dir, exist_ok=True)
         os.makedirs(os.path.join(run_dir, "epochs"), exist_ok=True)
-        for split in ("train", "valid", "test"):
-            open(os.path.join(run_dir, f"{split}.log"), "w").close()
+        if not append:  # resume passes append=True to keep prior epochs
+            for split in ("train", "valid", "test"):
+                open(os.path.join(run_dir, f"{split}.log"), "w").close()
         self.best_valid_loss = float("inf")
         self.best_valid_metric = 0.0
         self.best_loss_epoch = 0
@@ -168,10 +171,12 @@ class EpochLogger:
             )
 
     def log_loss(self, split: str, epoch: int, loss: float) -> None:
-        """Loss-only CSV line — for loops that don't materialize predictions
-        on the split (joint training's train step)."""
+        """Loss-only CSV line for loops that don't materialize predictions
+        on the split (joint training's train step). NaN placeholders keep
+        the 6-column ``epoch,loss,mAP,meanAUC,meanAUPR,meanFDR`` contract
+        (reference: utils/evals.py:297-300) so every .log parses uniformly."""
         with open(os.path.join(self.run_dir, f"{split}.log"), "a") as f:
-            f.write(f"{epoch},{loss}\n")
+            f.write(f"{epoch},{loss},nan,nan,nan,nan\n")
 
     def maybe_snapshot(
         self, epoch: int, valid_loss: float, valid_score: float,

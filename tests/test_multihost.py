@@ -84,7 +84,7 @@ def test_put_global_multi_process_slices_local_rows(monkeypatch):
     def fake_make(shd, local, global_shape):
         captured["local"] = np.asarray(local)
         captured["global_shape"] = global_shape
-        return jax.device_put(x, shd)  # placement itself is single-process
+        return local  # placement itself is out of scope for this test
 
     monkeypatch.setattr(jax, "process_count", lambda: 2)
     monkeypatch.setattr(jax, "process_index", lambda: 0)
@@ -96,10 +96,19 @@ def test_put_global_multi_process_slices_local_rows(monkeypatch):
     np.testing.assert_array_equal(captured["local"], x)
     assert captured["global_shape"] == (32, 2)
 
-    # already-local shard: global extent = local rows x process_count
-    multihost.put_global(x[:16], sharding, already_local=True)
+    # already-local shard: global extent = local rows x process_count, and
+    # the derived shape must agree with the sharding's row assignment — use
+    # a consistent 2-process fake (this process owns the first half)
+    fake = FakeSharding([0, 1])
+    multihost.put_global(x[:16], fake, already_local=True)
     np.testing.assert_array_equal(captured["local"], x[:16])
     assert captured["global_shape"] == (32, 2)
+
+    # inconsistent layout (sharding assigns this process ALL 24 derived
+    # rows, local shard has 12): fail loudly instead of fabricating a
+    # consistent-but-wrong global shape (ADVICE r3)
+    with pytest.raises(ValueError, match="already_local shard"):
+        multihost.put_global(x[:12], sharding, already_local=True)
 
 
 def test_host_batch_slice(monkeypatch):
