@@ -61,25 +61,26 @@ static inline int64_t parse_ll(const char** p) {
 // "min1000" in its artifact names). 0 disables. max_dist_bp: optional
 // ceiling (this framework's extension, <=0 disables) — also pre-top-k so
 // a capped graph selects its k best among qualifying contacts.
+// upsample_grid: when > 1, each streamed contact (b1, b2, v) at a coarse
+// resolution expands on the fly to the grid x grid fine-resolution contacts
+// (b1 + i*resolution_bp, b2 + j*resolution_bp, v), i,j in [0, grid) — the
+// K562 5kb -> 1kb flow (reference: data/extras/upsample_hic.py:25-45)
+// WITHOUT materializing the 25x intermediate dump the reference writes.
+// Filters (distance, bin membership, normalization) apply to the expanded
+// fine-grid contacts, identical to streaming a pre-upsampled file.
 int64_t hic_topk(const char* path, const double* norm, int64_t norm_len,
                  int64_t resolution_bp, int64_t min_dist_bp,
                  int64_t max_dist_bp, const int64_t* bins, int64_t n_bins,
                  int64_t k, int64_t* out_bin1, int64_t* out_bin2,
-                 double* out_val) {
+                 double* out_val, int64_t upsample_grid) {
   FILE* f = fopen(path, "r");
   if (!f) return -1;
+  if (upsample_grid < 1) upsample_grid = 1;
 
   std::unordered_set<int64_t> bin_set(bins, bins + n_bins);
   std::priority_queue<Contact, std::vector<Contact>, ContactCmp> heap;
 
-  // Parse one NUL-terminated line and maybe push it onto the heap.
-  auto handle = [&](const char* line) {
-    const char* q = line;
-    int64_t b1 = parse_ll(&q);
-    int64_t b2 = parse_ll(&q);
-    while (*q == ' ' || *q == '\t') q++;
-    double v = strtod(q, nullptr);
-
+  auto consider = [&](int64_t b1, int64_t b2, double v) {
     int64_t dist = b1 > b2 ? b1 - b2 : b2 - b1;
     if (dist < min_dist_bp) return;
     if (max_dist_bp > 0 && dist > max_dist_bp) return;
@@ -99,6 +100,24 @@ int64_t hic_topk(const char* path, const double* norm, int64_t norm_len,
     } else if (!heap.empty() && v > heap.top().val) {
       heap.pop();
       heap.push({b1, b2, v});
+    }
+  };
+
+  // Parse one NUL-terminated line and maybe push it onto the heap.
+  auto handle = [&](const char* line) {
+    const char* q = line;
+    int64_t b1 = parse_ll(&q);
+    int64_t b2 = parse_ll(&q);
+    while (*q == ' ' || *q == '\t') q++;
+    double v = strtod(q, nullptr);
+    if (upsample_grid == 1) {
+      consider(b1, b2, v);
+      return;
+    }
+    for (int64_t i = 0; i < upsample_grid; ++i) {
+      for (int64_t j = 0; j < upsample_grid; ++j) {
+        consider(b1 + i * resolution_bp, b2 + j * resolution_bp, v);
+      }
     }
   };
 

@@ -48,6 +48,7 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, f64p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64,
         i64p, ctypes.c_int64, ctypes.c_int64, i64p, i64p, f64p,
+        ctypes.c_int64,
     ]
     lib.intersect_fraction.restype = ctypes.c_int64
     lib.intersect_fraction.argtypes = [
@@ -74,6 +75,7 @@ def hic_topk(
     resolution_bp: int = 1000,
     min_dist_bp: int = 0,
     max_dist_bp: Optional[int] = None,
+    upsample_grid: int = 1,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Top-k normalized Hi-C contacts among ``bins`` from a RAWobserved file.
 
@@ -89,6 +91,11 @@ def hic_topk(
     min_distance_threshold (reference: data/7create_graph_old.py:166, the
     "min1000" in its artifact names); max_dist_bp is this framework's
     extension (None disables).
+
+    upsample_grid > 1 expands each streamed coarse contact onto the
+    grid x grid fine-resolution offsets IN the stream (the K562 5kb -> 1kb
+    flow, reference: data/extras/upsample_hic.py:25-45) — no 25x
+    intermediate dump is materialized.
     """
     bins = np.unique(_as_i64(bins))
     lib = _load()
@@ -109,15 +116,16 @@ def hic_topk(
             out1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             out2.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             outv.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            upsample_grid,
         )
         if n >= 0:
             return out1[:n], out2[:n], outv[:n]
     return _hic_topk_numpy(path, bins, k, norm, resolution_bp,
-                           min_dist_bp, max_dist_bp)
+                           min_dist_bp, max_dist_bp, upsample_grid)
 
 
 def _hic_topk_numpy(path, bins, k, norm, resolution_bp,
-                    min_dist_bp=0, max_dist_bp=None):
+                    min_dist_bp=0, max_dist_bp=None, upsample_grid=1):
     """Chunked numpy fallback (slower but exact)."""
     bin_set = set(int(b) for b in bins)
     best1, best2, bestv = [], [], []
@@ -139,27 +147,38 @@ def _hic_topk_numpy(path, bins, k, norm, resolution_bp,
             all1, all2, allv = all1[top], all2[top], allv[top]
         best1, best2, bestv = all1.tolist(), all2.tolist(), allv.tolist()
 
+    offsets = [
+        (i * resolution_bp, j * resolution_bp)
+        for i in range(max(upsample_grid, 1))
+        for j in range(max(upsample_grid, 1))
+    ]
     with open(path) as f:
         for line in f:
             parts = line.split()
             if len(parts) < 3:
                 continue
-            b1, b2 = int(parts[0]), int(parts[1])
-            dist = abs(b1 - b2)
-            if dist < min_dist_bp or (max_dist_bp is not None and dist > max_dist_bp):
-                continue
-            if b1 == b2 or b1 not in bin_set or b2 not in bin_set:
-                continue
-            v = float(parts[2])
-            if norm is not None:
-                n1 = norm[b1 // resolution_bp] if b1 // resolution_bp < len(norm) else 0.0
-                n2 = norm[b2 // resolution_bp] if b2 // resolution_bp < len(norm) else 0.0
-                if n1 == 0 or n2 == 0 or np.isnan(n1) or np.isnan(n2):
+            rb1, rb2 = int(parts[0]), int(parts[1])
+            rv = float(parts[2])
+            # upsample_grid > 1: expand the coarse contact onto the fine
+            # grid in-stream, filters applied per expanded contact (same
+            # semantics as streaming a pre-upsampled file)
+            for o1, o2 in offsets:
+                b1, b2 = rb1 + o1, rb2 + o2
+                dist = abs(b1 - b2)
+                if dist < min_dist_bp or (max_dist_bp is not None and dist > max_dist_bp):
                     continue
-                v = v / (n1 * n2)
-            chunk_b1.append(b1)
-            chunk_b2.append(b2)
-            chunk_v.append(v)
+                if b1 == b2 or b1 not in bin_set or b2 not in bin_set:
+                    continue
+                v = rv
+                if norm is not None:
+                    n1 = norm[b1 // resolution_bp] if b1 // resolution_bp < len(norm) else 0.0
+                    n2 = norm[b2 // resolution_bp] if b2 // resolution_bp < len(norm) else 0.0
+                    if n1 == 0 or n2 == 0 or np.isnan(n1) or np.isnan(n2):
+                        continue
+                    v = v / (n1 * n2)
+                chunk_b1.append(b1)
+                chunk_b2.append(b2)
+                chunk_v.append(v)
             if len(chunk_b1) >= 1_000_000:
                 flush()
     flush()

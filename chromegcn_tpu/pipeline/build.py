@@ -168,33 +168,14 @@ def build_hic_graphs(
                 norm_path = os.path.join(hic_dir, f"{chrom}.{hicnorm}norm")
                 if not os.path.exists(norm_path):
                     norm_path = None
-            if upsample_5kb:
-                # K562 flow: replicate 5kb contacts onto the 1kb grid first
-                # (reference: data/extras/upsample_hic.py:25-45), writing a
-                # temporary upsampled dump next to the raw file once.
-                up = raw + ".upsampled1kb"
-                if not os.path.exists(up):
-                    import numpy as _np
-
-                    b1, b2, vals = [], [], []
-                    with open(raw) as f:
-                        for line in f:
-                            parts = line.split()
-                            if len(parts) >= 3:
-                                b1.append(int(parts[0]))
-                                b2.append(int(parts[1]))
-                                vals.append(float(parts[2]))
-                    ub1, ub2, uv = hic.upsample_contacts_5kb_to_1kb(
-                        _np.asarray(b1), _np.asarray(b2), _np.asarray(vals)
-                    )
-                    with open(up, "w") as f:
-                        for a, b, c in zip(ub1, ub2, uv):
-                            f.write(f"{a}\t{b}\t{c}\n")
-                raw = up
+            # K562 flow: 5kb contacts replicate onto the 1kb grid IN the
+            # stream (native reader upsample_grid=5 — reference writes a
+            # 25x intermediate dump instead, data/extras/upsample_hic.py)
             s, r, v = hic.chrom_topk_edges(
                 raw, starts, n_pairs, norm_path=norm_path,
                 resolution_bp=resolution_bp, min_dist_bp=min_dist_bp,
                 max_dist_bp=max_dist_bp,
+                upsample_grid=5 if upsample_5kb else 1,
             )
             per_chrom[chrom] = (s, r, v)
             verbose(f"{split}/{chrom}: {len(s)} directed contact edges")

@@ -49,6 +49,7 @@ def chrom_topk_edges(
     resolution_bp: int = 1000,
     min_dist_bp: int = 0,
     max_dist_bp: Optional[int] = None,
+    upsample_grid: int = 1,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Top-k contact pairs for one chromosome as window-index COO.
 
@@ -66,6 +67,10 @@ def chrom_topk_edges(
       max_dist_bp: optional distance ceiling, also pre-top-k. This is a
         framework extension (the reference has no max cutoff); a capped
         graph selects its k best among qualifying contacts.
+      upsample_grid: > 1 expands each coarse contact onto the grid x grid
+        fine-resolution offsets while streaming (K562 5kb -> 1kb flow,
+        reference: data/extras/upsample_hic.py:25-45) — no intermediate
+        25x dump is written.
 
     Returns (senders, receivers, vals): symmetric directed COO over window
     indices with binary values (reference: create_adj_mat sets 1 both ways,
@@ -76,7 +81,7 @@ def chrom_topk_edges(
     b1, b2, _vals = native_bridge.hic_topk(
         raw_path, window_starts, n_pairs, norm=norm,
         resolution_bp=resolution_bp, min_dist_bp=min_dist_bp,
-        max_dist_bp=max_dist_bp,
+        max_dist_bp=max_dist_bp, upsample_grid=upsample_grid,
     )
     idx = {int(s): i for i, s in enumerate(window_starts)}
     i1 = np.asarray([idx[int(b)] for b in b1], dtype=np.int32)

@@ -237,3 +237,74 @@ def test_hic_topk_chunk_boundary_straddle(tmp_path):
     assert sorted(zip(c1.tolist(), c2.tolist(), cv.tolist())) == sorted(
         zip(n1.tolist(), n2.tolist(), nv.tolist())
     )
+
+
+def test_streaming_upsample_matches_materialized(tmp_path):
+    """upsample_grid=5 in the streaming reader (native AND fallback) must
+    equal the reference's materialize-then-stream flow (write the 25x dump
+    via upsample_contacts_5kb_to_1kb, then read at grid=1)."""
+    rng = np.random.default_rng(3)
+    n_coarse = 40
+    b1 = rng.integers(0, 12, size=n_coarse) * 5000
+    b2 = rng.integers(0, 12, size=n_coarse) * 5000
+    vals = rng.integers(1, 50, size=n_coarse).astype(float)
+    raw = tmp_path / "k.RAWobserved"
+    raw.write_text("".join(f"{a}\t{b}\t{c}\n" for a, b, c in zip(b1, b2, vals)))
+    # materialized golden: expand, write, stream at grid=1
+    ub1, ub2, uv = hic.upsample_contacts_5kb_to_1kb(b1, b2, vals)
+    mat = tmp_path / "k.up"
+    mat.write_text("".join(f"{a}\t{b}\t{c}\n" for a, b, c in zip(ub1, ub2, uv)))
+    starts = np.arange(60, dtype=np.int64) * 1000
+    norm = np.linspace(0.5, 1.5, 61)
+    k = 200
+
+    def canon(res):
+        o1, o2, ov = res
+        return sorted(zip(o1.tolist(), o2.tolist(), np.round(ov, 9).tolist()))
+
+    golden = canon(native_bridge.hic_topk(str(mat), starts, k, norm=norm))
+    got_native = canon(
+        native_bridge.hic_topk(str(raw), starts, k, norm=norm, upsample_grid=5)
+    )
+    got_fallback = canon(
+        native_bridge._hic_topk_numpy(str(raw), starts, k, norm, 1000,
+                                      upsample_grid=5)
+    )
+    assert len(golden) > 0
+    assert got_native == golden
+    assert got_fallback == golden
+
+
+def test_build_hic_graphs_upsample_5kb(tmp_path):
+    """build_hic_graphs(upsample_5kb=True) end-to-end on a 5kb dump: the
+    K562 recipe (reference README + data/extras/upsample_hic.py)."""
+    from chromegcn_tpu.data.loader import WindowDataset
+    from chromegcn_tpu.data import artifact as _art
+    from chromegcn_tpu.pipeline.build import build_hic_graphs
+
+    n = 30
+    ds = WindowDataset(
+        tokens=np.zeros((n, 4), np.int32),
+        targets=np.ones((n, 2), np.uint8),
+        chroms=np.asarray(["chr9"] * n, dtype=object),
+        starts=np.arange(n, dtype=np.int64) * 1000,
+        src_vocab={"a": 0}, tgt_vocab={"x": 0, "y": 1},
+    )
+    hic_dir = tmp_path / "hic"
+    hic_dir.mkdir()
+    (hic_dir / "chr9.RAWobserved").write_text("0\t10000\t7.0\n5000\t20000\t3.0\n")
+    out = tmp_path / "out"
+    build_hic_graphs({"train": ds}, str(hic_dir), str(out),
+                     hicsize=400, hicnorm="", upsample_5kb=True,
+                     verbose=lambda *a: None)
+    edges = _art.load_graph_edges(
+        str(out / "hic" / "train_graphs_400_norm.npz")
+    )
+    s, r, v = edges["chr9"]
+    # contact (0,10000) expands to senders 0..4, receivers 10..14 (and the
+    # symmetric direction); (5000,20000) to 5..9 x 20..24
+    pairs = set(zip(s.tolist(), r.tolist()))
+    assert (0, 10) in pairs and (4, 14) in pairs and (10, 0) in pairs
+    assert (5, 20) in pairs and (9, 24) in pairs
+    # 2 coarse contacts x 25 offsets x 2 directions, all within k=200
+    assert len(s) == 100
