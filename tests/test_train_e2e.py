@@ -185,3 +185,50 @@ def test_pretrain_data_parallel_matches_single_device(tmp_path):
     # approximate (structure check, not bitwise)
     np.testing.assert_allclose(losses[2], losses[1], rtol=2e-2)
     assert losses[2][-1] < losses[2][0]
+
+
+def test_save_feats_data_parallel_matches_single_device(tmp_path):
+    """save_feats under -dp_devices 2 must dump byte-identical features for
+    ALL splits (round-4 fix: the train/valid passes previously dropped the
+    batch sharding, which on a pod would misplace their feature dumps)."""
+    import dataclasses
+
+    from chromegcn_tpu.data.loader import load_chrom_features
+
+    splits = {
+        "train": make_window_dataset({"chr2": 24}, n_targets=4, seq_length=500, seed=0),
+        "valid": make_window_dataset({"chr3": 16}, n_targets=4, seq_length=500, seed=1),
+        "test": make_window_dataset({"chr1": 16}, n_targets=4, seq_length=500, seed=2),
+    }
+    # pretrain ONCE; both save_feats runs restore this same checkpoint so
+    # the comparison isolates the feature-dump pass, not training noise
+    cfg = Config(
+        dataroot=str(tmp_path / "d"), results_dir=str(tmp_path / "r"),
+        cell_type="SYN", epochs=1, batch_size=8, seq_length=500, d_model=32,
+        optim="adam", lr=1e-3, pretrain=True,
+    )
+    os.makedirs(os.path.join(cfg.dataroot, "SYN", "1000"), exist_ok=True)
+    run(cfg, splits, verbose=lambda *a: None)
+
+    feats = {}
+    for dp in (1, 2):
+        sf = dataclasses.replace(
+            cfg, pretrain=False, save_feats=True, epochs=1, dp_devices=dp
+        )
+        run(sf, splits, verbose=lambda *a: None)
+        feats[dp] = {
+            s: load_chrom_features(sf.feature_path(s))
+            for s in ("train", "valid", "test")
+        }
+    # eval-mode pass over identical weights: parity to sharded-reduction
+    # reassociation noise only
+    for split in ("train", "valid", "test"):
+        for chrom in feats[1][split]:
+            np.testing.assert_allclose(
+                feats[2][split][chrom].forward,
+                feats[1][split][chrom].forward, atol=5e-5,
+            )
+            np.testing.assert_allclose(
+                feats[2][split][chrom].backward,
+                feats[1][split][chrom].backward, atol=5e-5,
+            )
