@@ -159,7 +159,10 @@ def run_pretrain(cfg: Config, splits: Dict[str, WindowDataset], verbose=print):
         )
         start_epoch = int(restored["epoch"]) + 1
         verbose(f"resumed pretraining at epoch {start_epoch}")
-    logger = EpochLogger(run_dir, append=start_epoch > 1)
+    # append (don't truncate) when resuming AND in save_feats mode — the
+    # feature dump shares stage 1's run_dir, and truncating there wipes the
+    # pretrain epoch history (caught by the round-4 ingest E2E)
+    logger = EpochLogger(run_dir, append=start_epoch > 1 or cfg.save_feats)
 
     for epoch in range(start_epoch, cfg.epochs + 1):
         lr = steplr_lr(cfg.lr, epoch, cfg.lr_decay2 > 0, cfg.lr_step_size2)

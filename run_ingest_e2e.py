@@ -138,39 +138,57 @@ def main():
     }
 
     # ---- phases 2-4: training CLI on TPU ----------------------------------
+    # config reconstruction MUST use the exact argv of each phase (the
+    # gcn_dropout flag is part of the finetune run-dir encoding)
     from chromegcn_tpu.main import build_parser, config_from_args
 
-    wall = run_cmd("pretrain", [
-        sys.executable, "-m", "chromegcn_tpu.main", *COMMON,
+    pretrain_argv = COMMON + [
         "-pretrain", "-epochs", str(PRETRAIN_EPOCHS), "-shuffle_train",
-    ])
-    report["phases"]["cli_pretrain"] = {
-        "wall_s": round(wall, 1), "epochs": PRETRAIN_EPOCHS,
-    }
-    cfg = config_from_args(build_parser().parse_args(COMMON + ["-pretrain"]))
+    ]
+    cfg = config_from_args(build_parser().parse_args(pretrain_argv))
+    if not os.path.isdir(os.path.join(cfg.stage1_run_dir, "ckpt")):
+        wall = run_cmd("pretrain",
+                       [sys.executable, "-m", "chromegcn_tpu.main", *pretrain_argv])
+        report["phases"]["cli_pretrain"] = {
+            "wall_s": round(wall, 1), "epochs": PRETRAIN_EPOCHS,
+        }
+    else:
+        report["phases"]["cli_pretrain"] = {"cached": True}
     report["pretrain_test_log"] = read_log(cfg.stage1_run_dir, "test")
 
-    wall = run_cmd("save_feats", [
-        sys.executable, "-m", "chromegcn_tpu.main", *COMMON, "-save_feats",
-    ])
-    report["phases"]["cli_save_feats"] = {"wall_s": round(wall, 1)}
+    if not all(
+        os.path.exists(cfg.feature_path(s)) for s in ("train", "valid", "test")
+    ):
+        wall = run_cmd("save_feats", [
+            sys.executable, "-m", "chromegcn_tpu.main", *COMMON, "-save_feats",
+        ])
+        report["phases"]["cli_save_feats"] = {"wall_s": round(wall, 1)}
+    else:
+        report["phases"]["cli_save_feats"] = {"cached": True}
     feat_bytes = {
         s: os.path.getsize(cfg.feature_path(s))
         for s in ("train", "valid", "test")
     }
     report["feature_bytes"] = feat_bytes
 
-    wall = run_cmd("finetune", [
-        sys.executable, "-m", "chromegcn_tpu.main", *COMMON,
+    finetune_argv = COMMON + [
         "-load_pretrained", "-epochs", str(FINETUNE_EPOCHS),
         "-gcn_dropout", "0.1",
-    ])
-    report["phases"]["cli_finetune"] = {
-        "wall_s": round(wall, 1), "epochs": FINETUNE_EPOCHS,
-    }
-    ft_cfg = config_from_args(
-        build_parser().parse_args(COMMON + ["-load_pretrained"])
+    ]
+    ft_cfg = config_from_args(build_parser().parse_args(finetune_argv))
+    ft_log_path = os.path.join(ft_cfg.run_dir, "test.log")
+    done = (
+        os.path.exists(ft_log_path)
+        and len(open(ft_log_path).read().splitlines()) >= FINETUNE_EPOCHS
     )
+    if not done:
+        wall = run_cmd("finetune",
+                       [sys.executable, "-m", "chromegcn_tpu.main", *finetune_argv])
+        report["phases"]["cli_finetune"] = {
+            "wall_s": round(wall, 1), "epochs": FINETUNE_EPOCHS,
+        }
+    else:
+        report["phases"]["cli_finetune"] = {"cached": True}
     report["finetune_test_log"] = read_log(ft_cfg.run_dir, "test")
 
     # ---- verdicts ----------------------------------------------------------

@@ -102,6 +102,11 @@ def test_cli_mode2_save_feats(cli_world):
         feats = load_chrom_features(cfg.feature_path(split))
         assert set(feats) == chroms, split
     assert load_chrom_features(cfg.feature_path("train"))["chr2"].forward.shape == (24, 16)
+    # save_feats shares stage 1's run_dir: it must APPEND to the epoch
+    # logs, not truncate the pretrain history (round-4 ingest E2E bug)
+    log = open(os.path.join(cfg.stage1_run_dir, "test.log")).read().splitlines()
+    assert len(log) >= 3, "pretrain epochs must survive the save_feats pass"
+    assert [int(l.split(",")[0]) for l in log[:2]] == [1, 2]
 
 
 def test_cli_mode3_finetune(cli_world, capsys):
