@@ -93,6 +93,7 @@ def make_graph_coupled_dataset(
     motif_p: float = 0.2,
     neighbor_thresh: float = 0.3,
     pairs_per_node: float = 5.0,
+    neighbor_only_frac: float = 0.0,
     seed: int = 0,
 ):
     """Windows whose labels genuinely depend on Hi-C NEIGHBORS — the
@@ -110,10 +111,19 @@ def make_graph_coupled_dataset(
     gap. Returns (splits, graphs): WindowDatasets per split plus
     per-chromosome COO contact edges in the artifact format
     (data/artifact.save_graph_edges).
+
+    ``neighbor_only_frac`` > 0 makes the FIRST ``frac * n_targets``
+    targets fire on the neighbor condition ALONE (own presence ignored) —
+    an "enhancer-hijack"-style label carrying ZERO in-window sequence
+    evidence. A sequence-only model's ceiling on these is the weak
+    autocorrelation between a window's own motif and its neighbors'; the
+    graph stage reads the neighbors directly. Round-4 addition for the
+    focused CNN-vs-GCN separation experiment (run_nbrwin.py).
     """
     rng = np.random.default_rng(seed)
     motifs = rng.integers(0, 4, size=(n_motifs, motif_len)).astype(np.int32)
     mu = rng.integers(0, n_motifs, size=n_targets)  # target -> motif
+    n_nbr_only = int(round(neighbor_only_frac * n_targets))
 
     splits: Dict[str, WindowDataset] = {}
     graphs: Dict[str, Dict[str, Tuple[np.ndarray, np.ndarray, np.ndarray]]] = {}
@@ -138,9 +148,11 @@ def make_graph_coupled_dataset(
             nbr = np.zeros((n, n_motifs), np.float32)
             np.add.at(nbr, r, present[s].astype(np.float32))
             nbr /= deg[:, None]
-            targets = (
-                present[:, mu] & (nbr[:, mu] >= neighbor_thresh)
-            ).astype(np.uint8)
+            nbr_ok = nbr[:, mu] >= neighbor_thresh
+            own = present[:, mu].copy()
+            if n_nbr_only:
+                own[:, :n_nbr_only] = True  # neighbor condition alone
+            targets = (own & nbr_ok).astype(np.uint8)
             tok_parts.append(tokens)
             tgt_parts.append(targets)
             chrom_col.extend([chrom] * n)

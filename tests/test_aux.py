@@ -258,3 +258,27 @@ def test_init_distributed_never_touches_backend_first(monkeypatch):
 
     with _pytest.raises(RuntimeError):
         pmesh.init_distributed(coordinator_address="10.0.0.1:8476")
+
+
+def test_graph_coupled_generator_neighbor_only_labels():
+    """neighbor_only_frac: the first frac*n targets fire on the neighbor
+    condition ALONE (own presence ignored); the rest keep the own-AND-
+    neighbor coupling; frac=0 reproduces the original construction."""
+    import numpy as np
+
+    from chromegcn_tpu.data.synthetic import make_graph_coupled_dataset
+
+    kw = dict(n_targets=16, seq_length=300, seed=5)
+    sp0, _ = make_graph_coupled_dataset({"train": {"chr2": 300}}, **kw)
+    sp1, _ = make_graph_coupled_dataset(
+        {"train": {"chr2": 300}}, neighbor_only_frac=0.5, **kw
+    )
+    t0, t1 = sp0["train"].targets, sp1["train"].targets
+    # the coupled half is identical between the two runs (same rng stream)
+    np.testing.assert_array_equal(t1[:, 8:], t0[:, 8:])
+    # neighbor-only labels are a superset of the coupled version of the
+    # same label (dropping the own-presence factor can only add positives)
+    assert (t1[:, :8] >= t0[:, :8]).all()
+    assert t1[:, :8].sum() > t0[:, :8].sum()
+    # and carry higher prevalence (no own-presence filter)
+    assert t1[:, :8].mean() > t1[:, 8:].mean()
