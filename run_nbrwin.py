@@ -26,13 +26,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-N_TARGETS = 256
-NBR_ONLY_FRAC = 0.5   # labels [0, 128) are neighbor-only
-EPOCHS_CNN = 40  # 156 steps/epoch at 10k windows: matches the E2E's ~6-7k total steps
-EPOCHS_GCN = 12
-
-
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--scale", choices=["small", "e2e"], default="e2e",
+        help="'e2e' = the NBRWIN_r04.json configuration (40k train "
+        "windows, 919 targets, 128 neighbor-only, 12/20 epochs — the "
+        "regime where features are strong and the null is meaningful); "
+        "'small' = the 10k-window arm that demonstrated feature quality "
+        "gating the graph gain",
+    )
+    args = ap.parse_args()
+
     from chromegcn_tpu.analysis.results import load_best_predictions
     from chromegcn_tpu.config import Config
     from chromegcn_tpu.data import artifact
@@ -40,8 +47,30 @@ def main():
     from chromegcn_tpu.train.runner import run
     from chromegcn_tpu.utils import metrics
 
+    if args.scale == "small":
+        N_TARGETS, n_nbr_frac = 256, 0.5
+        # 156 steps/epoch at 10k windows: ~E2E total step count
+        EPOCHS_CNN, EPOCHS_GCN = 40, 12
+        split_chroms = {
+            "train": {c: 2500 for c in ("chr2", "chr4", "chr5", "chr6")},
+            "valid": {"chr3": 2600},
+            "test": {"chr1": 2600},
+        }
+        seed = 3
+    else:
+        N_TARGETS, n_nbr_frac = 919, 128 / 919
+        EPOCHS_CNN, EPOCHS_GCN = 12, 20
+        split_chroms = {
+            "train": {f"chr{c}": 2500 for c in
+                      (2, 4, 5, 6, 7, 9, 10, 11, 13, 14, 15, 16, 18, 19, 20, 22)},
+            "valid": {"chr3": 2600, "chr12": 2600, "chr17": 2600},
+            "test": {"chr1": 2900, "chr8": 2700, "chr21": 2700},
+        }
+        seed = 0
+    NBR_ONLY_FRAC = n_nbr_frac
+
     t_all = time.time()
-    workdir = "/tmp/nbrwin_r04"
+    workdir = f"/tmp/nbrwin_r04_{args.scale}"
     base = dict(
         dataroot=os.path.join(workdir, "data"),
         results_dir=os.path.join(workdir, "results"),
@@ -50,11 +79,6 @@ def main():
         gcn_dropout=0.2, adj_type="hic", hicnorm="SQRTVC",
         use_stage2_hparams=True, optim2="adam", lr2=2e-3, overwrite=True,
     )
-    split_chroms = {
-        "train": {c: 2500 for c in ("chr2", "chr4", "chr5", "chr6")},
-        "valid": {"chr3": 2600},
-        "test": {"chr1": 2600},
-    }
 
     cfg0 = Config(pretrain=True, epochs=EPOCHS_CNN, **base)
     os.makedirs(cfg0.dataset_dir, exist_ok=True)
@@ -62,7 +86,7 @@ def main():
     print("[nbrwin] generating dataset (50% neighbor-only labels)...", flush=True)
     splits, graphs = make_graph_coupled_dataset(
         split_chroms, n_targets=N_TARGETS, seq_length=2000,
-        neighbor_only_frac=NBR_ONLY_FRAC, seed=3,
+        neighbor_only_frac=NBR_ONLY_FRAC, seed=seed,
     )
     artifact.save_dataset(cfg0.data_path, splits)
     for split, per in graphs.items():
