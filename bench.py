@@ -226,6 +226,12 @@ def main():
                     "edge_pass_convention": "fwd+bwd counted as 2 passes per layer per strand",
                     "matmul_precision": "high (bf16x3, f32-faithful parity mode; see DESIGN.md §6)",
                     "roofline": roofline,
+                    # honest error bar: repeated median-of-5 loops WITHIN one
+                    # process reproduce to ~+/-1.5%, but FRESH-PROCESS runs of
+                    # this script scatter ~+/-5% around the median (6-run
+                    # two-tree audit, BENCHAUDIT_r05.json — this variance, not
+                    # a regression, explains the r3->r4 headline gap)
+                    "cross_process_spread": "+/-5% (BENCHAUDIT_r05.json)",
                     "backend": jax.default_backend(),
                 },
             }

@@ -91,6 +91,11 @@ def build_parser() -> argparse.ArgumentParser:
         default=defaults.matmul_precision,
     )
     p.add_argument("-use_stage2_hparams", action="store_true")
+    p.add_argument(
+        "-early_stop_patience", type=int, default=0,
+        help="stop after N epochs without valid selection-score improvement "
+        "(0 = off, the reference's fixed-budget behavior)",
+    )
     p.add_argument("-dp_devices", type=int, default=1)
     p.add_argument("-graph_devices", type=int, default=1)
     p.add_argument("-tp_devices", type=int, default=1)

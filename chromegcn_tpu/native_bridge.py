@@ -124,9 +124,28 @@ def hic_topk(
                            min_dist_bp, max_dist_bp, upsample_grid)
 
 
+_warned_upsample_fallback = False
+
+
 def _hic_topk_numpy(path, bins, k, norm, resolution_bp,
                     min_dist_bp=0, max_dist_bp=None, upsample_grid=1):
     """Chunked numpy fallback (slower but exact)."""
+    global _warned_upsample_fallback
+    if upsample_grid > 1 and not _warned_upsample_fallback:
+        # the fallback expands grid*grid offsets in a per-line Python loop
+        # (~grid^2 slower than the native streaming expansion); fine as a
+        # correctness oracle, but hic_topk falls back here SILENTLY when
+        # the native lib fails to build — say so once (ADVICE r4)
+        import warnings
+
+        warnings.warn(
+            f"hic_topk: native library unavailable; upsample_grid="
+            f"{upsample_grid} runs the numpy fallback at ~{upsample_grid**2}x "
+            "the native cost (build chromegcn_tpu/native to stream natively)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        _warned_upsample_fallback = True
     bin_set = set(int(b) for b in bins)
     best1, best2, bestv = [], [], []
     chunk_b1, chunk_b2, chunk_v = [], [], []

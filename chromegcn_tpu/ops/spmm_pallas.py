@@ -117,8 +117,16 @@ def _build_one_direction(
     min_edges_per_tile: Union[int, str],
     dtype=np.float32,
     n_cols: Optional[int] = None,
+    count_only: bool = False,
 ) -> BSRMatrix:
-    """senders index columns [0, n_cols); receivers index rows [0, n_rows)."""
+    """senders index columns [0, n_cols); receivers index rows [0, n_rows).
+
+    count_only=True returns just the padded (nt_pad, ns_pad) block-array
+    shapes the build WOULD produce, skipping the dense materialization —
+    used by the per-process sharded build (parallel.graph.attach_shard_bsr
+    with a multi-process mesh) to agree on globally consistent stacked
+    shapes without every host paying for every shard's blocks.
+    """
     if n_cols is None:
         n_cols = n_rows
     ncb = n_cols // tile_c
@@ -165,20 +173,8 @@ def _build_one_direction(
     # bucket: 128 zero tiles would stream 2.1M dead elements.
     nt_pad = TILES_PER_STEP if nt == 0 else _bucket(nt, 128)
 
-    tiles = np.zeros((nt_pad, tile_r, tile_c), np.float32)
-    tile_rb = np.zeros(nt_pad, np.int32)
-    tile_cb = np.zeros(nt_pad, np.int32)
-    tile_rb[:nt] = (dense_keys // ncb).astype(np.int32)
-    tile_cb[:nt] = (dense_keys % ncb).astype(np.int32)
-    in_dense = is_dense[inv]
-    de = np.nonzero(in_dense)[0]
-    if len(de):
-        tidx = np.fromiter(
-            (key_to_tile[int(k)] for k in key[de]), count=len(de), dtype=np.int64
-        )
-        np.add.at(tiles, (tidx, receivers[de] % tile_r, senders[de] % tile_c), vals[de])
-
     # stragglers -> (8 x tile_c) strips; every edge lands in exactly one
+    in_dense = is_dense[inv]
     se = np.nonzero(~in_dense)[0]
     ss, sr, sv = senders[se], receivers[se], vals[se]
     ncb8 = ncb
@@ -186,6 +182,21 @@ def _build_one_direction(
     strip_keys = np.sort(np.unique(skey)) if len(skey) else np.zeros(0, np.int64)
     ns = len(strip_keys)
     ns_pad = _bucket(ns, 128)
+
+    if count_only:
+        return nt_pad, ns_pad
+
+    tiles = np.zeros((nt_pad, tile_r, tile_c), np.float32)
+    tile_rb = np.zeros(nt_pad, np.int32)
+    tile_cb = np.zeros(nt_pad, np.int32)
+    tile_rb[:nt] = (dense_keys // ncb).astype(np.int32)
+    tile_cb[:nt] = (dense_keys % ncb).astype(np.int32)
+    de = np.nonzero(in_dense)[0]
+    if len(de):
+        tidx = np.fromiter(
+            (key_to_tile[int(k)] for k in key[de]), count=len(de), dtype=np.int64
+        )
+        np.add.at(tiles, (tidx, receivers[de] % tile_r, senders[de] % tile_c), vals[de])
     strips = np.zeros((ns_pad, STRIP_R, tile_c), np.float32)
     strip_rb = np.zeros(ns_pad, np.int32)
     strip_cb = np.zeros(ns_pad, np.int32)

@@ -163,6 +163,12 @@ def run_pretrain(cfg: Config, splits: Dict[str, WindowDataset], verbose=print):
     # feature dump shares stage 1's run_dir, and truncating there wipes the
     # pretrain epoch history (caught by the round-4 ingest E2E)
     logger = EpochLogger(run_dir, append=start_epoch > 1 or cfg.save_feats)
+    if start_epoch > 1 and logger.best_valid_metric > 0:
+        # seed the checkpoint-save gate with the pre-resume best score so a
+        # resumed first epoch can't overwrite the best checkpoint with a
+        # worse one (ADVICE r4; the logger restored its best from best.json)
+        score_history.append(logger.best_valid_metric)
+    since_improve = 0
 
     for epoch in range(start_epoch, cfg.epochs + 1):
         lr = steplr_lr(cfg.lr, epoch, cfg.lr_decay2 > 0, cfg.lr_step_size2)
@@ -205,9 +211,14 @@ def run_pretrain(cfg: Config, splits: Dict[str, WindowDataset], verbose=print):
         )
 
         tracker.evaluate(valid_metrics, test_metrics, epoch)
-        logger.log("train", epoch, train_metrics["loss"] if train_metrics else 0, train_metrics)
-        logger.log("valid", epoch, valid_loss, valid_metrics)
-        logger.log("test", epoch, test_loss, test_metrics)
+        if not cfg.save_feats:
+            # the save_feats pass exists only to dump features; logging its
+            # eval rows would append a duplicate 'epoch 1' line after the
+            # preserved pretrain history in the shared stage-1 CSVs
+            # (ADVICE r4)
+            logger.log("train", epoch, train_metrics["loss"] if train_metrics else 0, train_metrics)
+            logger.log("valid", epoch, valid_loss, valid_metrics)
+            logger.log("test", epoch, test_loss, test_metrics)
 
         if cfg.save_feats:
             # dump features for every split in eval mode
@@ -243,6 +254,19 @@ def run_pretrain(cfg: Config, splits: Dict[str, WindowDataset], verbose=print):
             f"epoch {epoch}: test meanAUC={test_metrics['meanAUC']:.4f} "
             f"meanAUPR={test_metrics['meanAUPR']:.4f} loss={test_loss:.3f}"
         )
+        if cfg.early_stop_patience > 0 and valid_metrics is not None:
+            # plateau detection on the valid selection score (meanAUPR-
+            # dominated, utils/evals.selection_score): stop when no STRICT
+            # improvement for `patience` epochs (ties are a plateau; score
+            # itself is already the last element of score_history)
+            prior_best = max(score_history[:-1], default=float("-inf"))
+            since_improve = 0 if score > prior_best else since_improve + 1
+            if since_improve >= cfg.early_stop_patience:
+                verbose(
+                    f"early stop at epoch {epoch}: no valid-score "
+                    f"improvement in {since_improve} epochs"
+                )
+                break
 
     return state, tracker
 
@@ -412,6 +436,10 @@ def run_finetune(cfg: Config, verbose=print):
     tracker = BestTracker()
     logger = EpochLogger(run_dir, append=start_epoch > 1)
     score_history = []
+    if start_epoch > 1 and logger.best_valid_metric > 0:
+        # pre-resume best seeds the checkpoint-save gate (ADVICE r4)
+        score_history.append(logger.best_valid_metric)
+    since_improve = 0
 
     for epoch in range(start_epoch, cfg.epochs + 1):
         lr_e = steplr_lr(lr, epoch, cfg.lr_decay2 > 0, cfg.lr_step_size2)
@@ -473,6 +501,15 @@ def run_finetune(cfg: Config, verbose=print):
             f"epoch {epoch}: test meanAUC={test_metrics['meanAUC']:.4f} "
             f"meanAUPR={test_metrics['meanAUPR']:.4f} loss={test_loss:.3f}"
         )
+        if cfg.early_stop_patience > 0 and valid_metrics is not None:
+            prior_best = max(score_history[:-1], default=float("-inf"))
+            since_improve = 0 if score > prior_best else since_improve + 1
+            if since_improve >= cfg.early_stop_patience:
+                verbose(
+                    f"early stop at epoch {epoch}: no valid-score "
+                    f"improvement in {since_improve} epochs"
+                )
+                break
 
     return state, tracker
 

@@ -12,6 +12,7 @@ Mirrors the reference's eval stack (reference: utils/evals.py:26-300):
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Dict, List, Optional, Sequence
 
@@ -161,6 +162,28 @@ class EpochLogger:
         self.best_valid_loss = float("inf")
         self.best_valid_metric = 0.0
         self.best_loss_epoch = 0
+        # resume restores the best-score state too: without it the first
+        # resumed epoch always "improves" (best starts at inf/0) and can
+        # overwrite the pre-resume best snapshots/checkpoint with a worse
+        # epoch (ADVICE r4)
+        best_path = os.path.join(run_dir, "best.json")
+        if append and os.path.exists(best_path):
+            with open(best_path) as f:
+                best = json.load(f)
+            self.best_valid_loss = float(best["valid_loss"])
+            self.best_valid_metric = float(best["valid_metric"])
+            self.best_loss_epoch = int(best["loss_epoch"])
+
+    def _persist_best(self) -> None:
+        with open(os.path.join(self.run_dir, "best.json"), "w") as f:
+            json.dump(
+                {
+                    "valid_loss": self.best_valid_loss,
+                    "valid_metric": self.best_valid_metric,
+                    "loss_epoch": self.best_loss_epoch,
+                },
+                f,
+            )
 
     def log(self, split: str, epoch: int, loss: float, m: Optional[Dict]) -> None:
         if m is None:
@@ -186,20 +209,25 @@ class EpochLogger:
         (reference: utils/evals.py:275-289). Returns True if the metric
         snapshot was updated (signals checkpoint-worthy epoch)."""
         ep = os.path.join(self.run_dir, "epochs")
+        updated = False
         if valid_loss < self.best_valid_loss:
             self.best_valid_loss = valid_loss
             self.best_loss_epoch = epoch
+            updated = True
             np.savez_compressed(
                 os.path.join(ep, "best_loss.npz"),
                 valid_preds=valid_preds, valid_targets=valid_targs,
                 test_preds=test_preds, test_targets=test_targs,
             )
-        if valid_score > self.best_valid_metric:
+        improved = valid_score > self.best_valid_metric
+        if improved:
             self.best_valid_metric = valid_score
+            updated = True
             np.savez_compressed(
                 os.path.join(ep, "best_metrics.npz"),
                 valid_preds=valid_preds, valid_targets=valid_targs,
                 test_preds=test_preds, test_targets=test_targs,
             )
-            return True
-        return False
+        if updated:
+            self._persist_best()
+        return improved

@@ -16,7 +16,7 @@ runtime a pod uses, DCN-style coordination over localhost), and runs:
 and checks shard-exact equality against the single-process reference.
 
 Run: `python multiproc_check.py` (parent mode: spawns the two workers
-and writes MULTIHOST_r03.json). ~2 min CPU.
+and writes MULTIHOST_r05.json). ~2 min CPU.
 """
 
 import json
@@ -81,6 +81,41 @@ def worker(pid: int) -> None:
         sl = db.index[0]
         err = max(err, float(jnp.max(jnp.abs(db.data - ref[sl]))))
 
+    # 2b) PER-PROCESS operator construction (halo_bsr): with a multi-process
+    # mesh each host must MATERIALIZE dense blocks only for its own shards
+    # (count-only passes elsewhere) and still produce the exact SpMM. This
+    # is the pod-scale deployment path (SCALING_r04's stacked-form
+    # inflation note turned into code — VERDICT r4 missing #3).
+    from chromegcn_tpu.ops import spmm_pallas as sp
+
+    calls = {"materialize": 0, "count_only": 0}
+    orig_build = sp._build_one_direction
+
+    def counting_build(*a, **k):
+        calls["count_only" if k.get("count_only") else "materialize"] += 1
+        return orig_build(*a, **k)
+
+    sp._build_one_direction = counting_build
+    try:
+        sg_bsr = shard_graph(graph, mesh, strategy="halo_bsr")
+    finally:
+        sp._build_one_direction = orig_build
+    n_shards = N_PROC * DEV_PER_PROC
+    own = n_shards // N_PROC
+    groups = 4 if sg_bsr.pg.halo_cols else 2  # fl/bl (+fh/bh when halo)
+    assert calls["materialize"] == groups * own, calls
+    assert calls["count_only"] == groups * n_shards, calls
+    # the per-process-built operator holds GLOBAL arrays spanning
+    # non-addressable devices — it must be a jit ARGUMENT, not a closure
+    # (the trainer already passes graphs as step arguments)
+    out_bsr = jax.jit(spmm_mod.spmm)(sg_bsr, x)
+    err_bsr = 0.0
+    for db in out_bsr.addressable_shards:
+        sl = db.index[0]
+        err_bsr = max(err_bsr, float(jnp.max(jnp.abs(db.data - ref[sl]))))
+    # footprint: materialized-shard fraction is exactly 1/num_processes
+    bsr_frac = calls["materialize"] / calls["count_only"]
+
     # 3) full train step on the sharded graph (loss is replicated)
     model = ChromeGCN(nfeat=D, nhid=D, nclass=NCLASS, dropout=0.0, layers=2)
     state = create_chrome_state(
@@ -97,8 +132,19 @@ def worker(pid: int) -> None:
         state, loss, _ = chrome_train_step(state, x, x_r, sg, targets, step)
         losses.append(float(loss))
 
-    print(json.dumps({"pid": pid, "spmm_max_err": err, "losses": losses}),
-          flush=True)
+    print(
+        json.dumps(
+            {
+                "pid": pid,
+                "spmm_max_err": err,
+                "spmm_bsr_max_err": err_bsr,
+                "bsr_build_calls": calls,
+                "bsr_materialized_fraction": bsr_frac,
+                "losses": losses,
+            }
+        ),
+        flush=True,
+    )
 
 
 def main() -> None:
@@ -156,26 +202,35 @@ def main() -> None:
         ref_losses.append(float(loss))
 
     max_err = max(r_["spmm_max_err"] for r_ in results)
+    max_err_bsr = max(r_["spmm_bsr_max_err"] for r_ in results)
     loss_dev = max(
         abs(a - b) / abs(b)
         for r_ in results
         for a, b in zip(r_["losses"], ref_losses)
     )
-    ok = max_err < 1e-4 and loss_dev < 1e-4
+    frac = max(r_["bsr_materialized_fraction"] for r_ in results)
+    ok = (
+        max_err < 1e-4
+        and max_err_bsr < 1e-4
+        and loss_dev < 1e-4
+        and abs(frac - 1.0 / N_PROC) < 1e-9
+    )
     report = {
         "check": "2-process jax.distributed: process-local placement + "
-        "cross-process ring-halo SpMM + sharded train step vs "
-        "single-process reference",
+        "cross-process ring-halo SpMM (gather and per-process-built BSR "
+        "operators) + sharded train step vs single-process reference",
         "processes": N_PROC,
         "devices_per_process": DEV_PER_PROC,
         "spmm_max_abs_err": max_err,
+        "spmm_halo_bsr_max_abs_err": max_err_bsr,
+        "bsr_materialized_fraction_per_process": frac,
         "train_loss_rel_dev": loss_dev,
         "per_process": results,
         "single_process_losses": ref_losses,
         "pass": ok,
     }
     print(json.dumps(report))
-    with open("MULTIHOST_r03.json", "w") as f:
+    with open("MULTIHOST_r05.json", "w") as f:
         json.dump(report, f, indent=1)
     if not ok:
         raise SystemExit(1)

@@ -66,16 +66,23 @@ def parse_collectives(hlo_text: str):
             continue
         shape_part, opcode = m.groups()
         base = opcode
-        if base.endswith("-start"):
+        is_start = base.endswith("-start")
+        if is_start:
             base = base[: -len("-start")]
         elif base.endswith("-done"):
             continue  # counted at -start
         if base not in _COLLECTIVES:
             continue
-        total = sum(
-            shape_bytes(s.group(0))
-            for s in _SHAPE.finditer(shape_part)
-        )
+        shapes = [shape_bytes(s.group(0)) for s in _SHAPE.finditer(shape_part)]
+        if is_start and len(shapes) >= 2:
+            # async starts carry an (operand, result[, context]) tuple;
+            # counting every leaf would double the bytes on backends that
+            # lower collectives asynchronously — count the result leaf only
+            # (sync lowerings, e.g. XLA-CPU, never hit this branch; their
+            # tuple outputs are all results and are summed below) (ADVICE r4)
+            total = shapes[1]
+        else:
+            total = sum(shapes)
         rec = out.setdefault(base, {"count": 0, "bytes": 0})
         rec["count"] += 1
         rec["bytes"] += total
