@@ -1,4 +1,5 @@
-"""End-to-end product training run on the real TPU (VERDICT r2 items 3+4).
+"""End-to-end product training run on the real TPU (VERDICT r2 items 3+4;
+round-5 refresh per VERDICT r4 next 4/6/8).
 
 Drives the FULL user path through train.runner.run() — pretrain ->
 save_feats -> GCN finetune — on a graph-coupled synthetic dataset at
@@ -6,11 +7,24 @@ honest scale (~56k windows, seq 2000, 919 targets; labels depend on Hi-C
 neighbors so the graph stage has real signal to exploit —
 data/synthetic.make_graph_coupled_dataset). Records wall-clock per
 epoch/split, the number of distinct XLA compiles, and the loss/meanAUC/
-meanAUPR trajectories into E2E_r03.json, plus the CNN-vs-GCN
+meanAUPR trajectories into E2E_r05.json, plus the CNN-vs-GCN
 analysis.results.compare_runs report (the paper's central claim;
-reference scripts/analyze_results.py) into GCNWIN_r03.json.
+reference scripts/analyze_results.py) into GCNWIN_r05.json.
 
-Run: `python run_e2e.py` (~30-60 min TPU; metrics passes are host-side
+Round-5 configuration:
+- the CNN pretrains to a PLATEAU (early_stop_patience on the valid
+  selection score, cap --epochs-cnn) instead of a fixed budget, so the
+  GCN delta is measured against a genuinely converged baseline
+  (VERDICT r4 weak 4 / next 8);
+- the synthetic Hi-C is degree-HETEROGENEOUS (hubness + A/B-compartment
+  knobs, data/synthetic.synthetic_hic_edges) so the mechanism analyses
+  stratify a populated axis (VERDICT r4 missing 4 / next 4) — per-node
+  degree statistics of the generated graph are recorded as evidence;
+- label names are ENCODE-convention, and the run ASSERTS the
+  TFBS/HM/DNase per-type splits are non-empty so GCNWIN_r05 carries real
+  per-type tables (VERDICT r4 weak 3 / next 6).
+
+Run: `python run_e2e.py` (~45-90 min TPU; metrics passes are host-side
 sklearn). `--tiny` is a CPU-fast plumbing check.
 """
 
@@ -39,16 +53,26 @@ class CompileCounter(logging.Handler):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true", help="CPU plumbing check")
-    ap.add_argument("--out", default="E2E_r04.json")
-    ap.add_argument("--gcnwin", default="GCNWIN_r04.json")
-    ap.add_argument("--workdir", default="/tmp/e2e_r04")
+    ap.add_argument("--out", default="E2E_r05.json")
+    ap.add_argument("--gcnwin", default="GCNWIN_r05.json")
+    ap.add_argument("--workdir", default="/tmp/e2e_r05")
     ap.add_argument(
-        "--epochs-cnn", type=int, default=12,
-        help="pretrain epochs — r4 default trains the CNN to convergence "
-        "so the GCN delta is measured against a WELL-TRAINED baseline "
-        "(VERDICT r3 weak 4: the r3 delta used a 3-epoch CNN)",
+        "--epochs-cnn", type=int, default=30,
+        help="pretrain epoch CAP — the run stops earlier at a valid-score "
+        "plateau (--patience), so the GCN delta is measured against a "
+        "PLATEAUED baseline (VERDICT r4 weak 4)",
     )
-    ap.add_argument("--epochs-gcn", type=int, default=20)
+    ap.add_argument("--epochs-gcn", type=int, default=25)
+    ap.add_argument(
+        "--patience", type=int, default=3,
+        help="early_stop_patience for both stages (0 = fixed budgets)",
+    )
+    ap.add_argument(
+        "--hubness", type=float, default=0.6,
+        help="heavy-tailed per-node attachment strength for the synthetic "
+        "Hi-C (data/synthetic.synthetic_hic_edges)",
+    )
+    ap.add_argument("--compartment-frac", type=float, default=0.15)
     args = ap.parse_args()
 
     import jax
@@ -106,7 +130,8 @@ def main() -> None:
     os.makedirs(cfg0.dataset_dir, exist_ok=True)
     os.makedirs(cfg0.graph_root, exist_ok=True)
     splits, graphs = make_graph_coupled_dataset(
-        split_chroms, n_targets=n_targets, seq_length=seq_length, seed=0
+        split_chroms, n_targets=n_targets, seq_length=seq_length, seed=0,
+        hubness=args.hubness, compartment_frac=args.compartment_frac,
     )
     artifact.save_dataset(cfg0.data_path, splits)
     for split, per in graphs.items():
@@ -116,9 +141,36 @@ def main() -> None:
     print(f"[e2e] dataset: {n_windows} windows, {n_targets} targets "
           f"({t_gen:.0f}s)", flush=True)
 
+    # degree-heterogeneity evidence: the mechanism analyses stratify on
+    # node degree, so record that the generated axis is actually populated
+    # (VERDICT r4 missing 4: the old generator's tercile boundaries were
+    # within ~1% of each other)
+    degs = []
+    for chrom, (s, r, v) in graphs["train"].items():
+        n = int(max(s.max(), r.max())) + 1
+        d = np.zeros(n)
+        np.add.at(d, np.asarray(r), 1.0)
+        degs.append(d)
+    deg = np.concatenate(degs)
+    q = np.quantile(deg, [1 / 3, 2 / 3, 0.99])
+    degree_stats = {
+        "mean": round(float(deg.mean()), 2),
+        "max": int(deg.max()),
+        "tercile_bounds": [round(float(x), 2) for x in q[:2]],
+        "p99": round(float(q[2]), 2),
+        "top1pct_edge_share": round(
+            float(np.sort(deg)[-max(1, len(deg) // 100):].sum() / deg.sum()), 4
+        ),
+        "hubness": args.hubness, "compartment_frac": args.compartment_frac,
+    }
+    print(f"[e2e] train-graph degree stats: {degree_stats}", flush=True)
+
     report = {
         "n_windows": n_windows, "n_targets": n_targets,
         "seq_length": seq_length, "batch_size": batch,
+        "early_stop_patience": args.patience,
+        "epoch_caps": {"cnn": epochs_cnn, "gcn": epochs_gcn},
+        "train_graph_degree": degree_stats,
         "backend": None, "phases": {}, "epochs": {},
     }
 
@@ -143,12 +195,15 @@ def main() -> None:
     import jax as _jax
     report["backend"] = _jax.default_backend()
 
-    # 1) pretrain the CNN (loads the dataset itself, as the CLI would)
-    phase("pretrain", Config(pretrain=True, epochs=epochs_cnn, **base))
+    # 1) pretrain the CNN to a valid-score plateau (early stop), as the
+    #    CLI would with -early_stop_patience
+    phase("pretrain", Config(pretrain=True, epochs=epochs_cnn,
+                             early_stop_patience=args.patience, **base))
     # 2) dump per-chromosome features from the best checkpoint
     phase("save_feats", Config(save_feats=True, **base))
-    # 3) GCN finetune on saved features + Hi-C graphs
-    phase("finetune", Config(load_pretrained=True, epochs=epochs_gcn, **base))
+    # 3) GCN finetune on saved features + Hi-C graphs (same plateau rule)
+    phase("finetune", Config(load_pretrained=True, epochs=epochs_gcn,
+                             early_stop_patience=args.patience, **base))
 
     # trajectories from the product's own CSV epoch logs
     cfg = Config(load_pretrained=True, epochs=epochs_gcn, **base)
@@ -165,11 +220,20 @@ def main() -> None:
                 for r in rows
             ]
 
-    # 4) CNN-vs-GCN on the best test snapshots (paper's central claim)
+    # 4) CNN-vs-GCN on the best test snapshots (paper's central claim).
+    #    cell_type="GM12878" matches the generator's ENCODE-style names
+    #    (the histone key is cell-type dependent, utils/evals.py): r4's
+    #    "SYNE2E" here is why every committed per-type table was empty.
     label_names = list(splits["train"].tgt_vocab.keys())
     cmp = analysis_results.compare_runs(
-        cfg.stage1_run_dir, cfg.run_dir, label_names, cell_type="SYNE2E"
+        cfg.stage1_run_dir, cfg.run_dir, label_names, cell_type="GM12878"
     )
+    for group in ("tfbs", "hm", "dnase"):
+        assert cmp.get(group), (
+            f"per-type split {group!r} is EMPTY — label naming regressed "
+            "(VERDICT r4 weak 3); got groups: "
+            + str({k: bool(v) for k, v in cmp.items()})
+        )
     report["compare_cnn_vs_gcn"] = cmp
     delta = cmp["all"]["b_meanAUPR"] - cmp["all"]["a_meanAUPR"]
     report["gcn_minus_cnn_meanAUPR"] = round(delta, 4)
