@@ -150,6 +150,20 @@ def make_hic_edges(
     return senders, receivers, vals
 
 
+def graph_coupled_motifs(
+    rng: np.random.Generator, n_motifs: int, motif_len: int, n_targets: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """The (motifs, target->motif) tables of make_graph_coupled_dataset,
+    drawn FIRST from its rng so external consumers (run_variants.py's
+    planted-effect probe) can reconstruct exactly the tables a trained
+    model saw by passing ``default_rng(same_seed)``. Motif m is planted at
+    the deterministic in-window offset ``(m * motif_len) %
+    (seq_length - motif_len)``."""
+    motifs = rng.integers(0, 4, size=(n_motifs, motif_len)).astype(np.int32)
+    mu = rng.integers(0, n_motifs, size=n_targets)  # target -> motif
+    return motifs, mu
+
+
 def make_graph_coupled_dataset(
     split_chroms: Dict[str, Dict[str, int]],
     n_targets: int = 919,
@@ -190,8 +204,7 @@ def make_graph_coupled_dataset(
     focused CNN-vs-GCN separation experiment (run_nbrwin.py).
     """
     rng = np.random.default_rng(seed)
-    motifs = rng.integers(0, 4, size=(n_motifs, motif_len)).astype(np.int32)
-    mu = rng.integers(0, n_motifs, size=n_targets)  # target -> motif
+    motifs, mu = graph_coupled_motifs(rng, n_motifs, motif_len, n_targets)
     n_nbr_only = int(round(neighbor_only_frac * n_targets))
 
     splits: Dict[str, WindowDataset] = {}
