@@ -27,8 +27,8 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--workdir", default="/tmp/e2e_r04")
-    ap.add_argument("--out", default="DEGREE_r04.json")
+    ap.add_argument("--workdir", default="/tmp/e2e_r05")
+    ap.add_argument("--out", default="DEGREE_r05.json")
     ap.add_argument("--cell", default="SYNE2E")
     args = ap.parse_args()
 
@@ -110,9 +110,18 @@ def main():
     report = {
         "what": (
             "per-label AUPR delta (GCN - CNN) vs label mean Hi-C contact "
-            "degree on the r4 converged-CNN E2E test snapshots "
+            "degree on the converged-CNN E2E test snapshots of "
+            f"{args.workdir} "
             "(reference: scripts/analyze_results.py delta-vs-degree)"
         ),
+        "label_degree_spread": {
+            "tercile_bounds_rel_range": round(
+                float((q2 - q1) / max(np.mean([q1, q2]), 1e-9)), 4
+            ),
+            "weights_p01_p99": [
+                round(float(x), 2) for x in np.quantile(w, [0.01, 0.99])
+            ],
+        },
         "n_labels": int(ok.sum()),
         "spearman_delta_vs_degree": round(spearman, 4),
         "pearson_delta_vs_degree": round(pearson, 4),
@@ -125,14 +134,12 @@ def main():
         "mean_delta_all": round(float(d.mean()), 5),
         "degree_quantiles": [round(float(q), 2) for q in (q1, q2)],
         "interpretation": (
-            "the GCN delta is positive for 62-76% of labels in EVERY "
-            "degree tercile (machinery + sign verified), but the "
-            "synthetic generator samples contacts near-uniformly "
-            "(tercile boundaries within ~1% of each other), so the "
-            "degree axis the paper's mechanism figure stratifies on is "
-            "intentionally unpopulated here — correlation ~0 is the "
-            "expected null by construction, not a contradiction of the "
-            "paper's real-data finding"
+            "r4's run used the near-uniform generator (tercile bounds "
+            "within ~1%: an unpopulated axis, expected-null correlation); "
+            "round 5 regenerates with hubness/compartment structure — "
+            "check label_degree_spread to confirm the axis is populated "
+            "before reading the correlation/tercile rows as a mechanism "
+            "result"
         ),
     }
     with open(args.out, "w") as f:

@@ -102,11 +102,13 @@ def test_cli_mode2_save_feats(cli_world):
         feats = load_chrom_features(cfg.feature_path(split))
         assert set(feats) == chroms, split
     assert load_chrom_features(cfg.feature_path("train"))["chr2"].forward.shape == (24, 16)
-    # save_feats shares stage 1's run_dir: it must APPEND to the epoch
-    # logs, not truncate the pretrain history (round-4 ingest E2E bug)
+    # save_feats shares stage 1's run_dir: the pretrain epoch history must
+    # survive (round-4 ingest E2E truncation bug) AND the feature-dump
+    # pass must not append its own duplicate eval rows (ADVICE r4 —
+    # save_feats exists only to dump features)
     log = open(os.path.join(cfg.stage1_run_dir, "test.log")).read().splitlines()
-    assert len(log) >= 3, "pretrain epochs must survive the save_feats pass"
-    assert [int(l.split(",")[0]) for l in log[:2]] == [1, 2]
+    assert len(log) == 2, "exactly the pretrain epochs must survive save_feats"
+    assert [int(l.split(",")[0]) for l in log] == [1, 2]
 
 
 def test_cli_mode3_finetune(cli_world, capsys):
