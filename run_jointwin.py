@@ -124,6 +124,12 @@ def main():
                 for r in rows
             ]
 
+    # checkpoint the report BEFORE the compare pass: the training hour is
+    # banked even if the comparison trips on something
+    out = args.out if not args.tiny else "/tmp/JOINTWIN_tiny.json"
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
+
     # joint (b) vs staged GCN best (a), per label type
     cmp = analysis_results.compare_runs(
         staged_cfg.run_dir, joint_dir, label_names, cell_type="GM12878"
@@ -137,7 +143,6 @@ def main():
     )
     report["total_wall_s"] = round(time.time() - t_all, 1)
 
-    out = args.out if not args.tiny else "/tmp/JOINTWIN_tiny.json"
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
     print(f"[joint] joint-staged meanAUPR delta: {delta:+.4f} "
