@@ -176,6 +176,7 @@ def make_graph_coupled_dataset(
     neighbor_only_frac: float = 0.0,
     hubness: float = 0.0,
     compartment_frac: float = 0.0,
+    degree_coupled_frac: float = 0.0,
     cell_type: str = "GM12878",
     seed: int = 0,
 ):
@@ -214,17 +215,40 @@ def make_graph_coupled_dataset(
         graphs[split] = {}
         for chrom, n in per_chrom.items():
             tokens = rng.integers(0, 4, size=(n, seq_length)).astype(np.int32)
-            present = rng.random((n, n_motifs)) < motif_p
+            if degree_coupled_frac > 0:
+                # degree-coupled labels need the graph FIRST: the last
+                # `frac * n_motifs` motifs' presence probability scales
+                # with the node's degree percentile (TF-at-enhancer-hub
+                # style), which is what gives the reference's label-degree
+                # mechanism axis (scripts/analyze_results.py) a real
+                # spread — per-label MEAN degree otherwise concentrates
+                # by CLT no matter how heavy the node-degree tail is
+                # (DEGREE_r05). Branching (not reordering) keeps the rng
+                # stream of the frac=0 path identical to prior rounds.
+                s, r, v = make_hic_edges(
+                    n, int(n * pairs_per_node), seed=rng.integers(1 << 30),
+                    hubness=hubness, compartment_frac=compartment_frac,
+                )
+                deg = np.bincount(r, minlength=n).astype(np.float64)
+                pct = deg.argsort().argsort() / max(n - 1, 1)
+                present = rng.random((n, n_motifs)) < motif_p
+                k = int(round(degree_coupled_frac * n_motifs))
+                if k:
+                    p_cpl = motif_p * (0.25 + 1.5 * pct)[:, None]
+                    present[:, n_motifs - k:] = rng.random((n, k)) < p_cpl
+            else:
+                present = rng.random((n, n_motifs)) < motif_p
             for i in range(n):
                 for m in np.nonzero(present[i])[0]:
                     # deterministic per-motif slot so motifs don't overwrite
                     # each other: motif m sits at offset m * motif_len
                     off = (m * motif_len) % (seq_length - motif_len)
                     tokens[i, off : off + motif_len] = motifs[m]
-            s, r, v = make_hic_edges(
-                n, int(n * pairs_per_node), seed=rng.integers(1 << 30),
-                hubness=hubness, compartment_frac=compartment_frac,
-            )
+            if degree_coupled_frac == 0:
+                s, r, v = make_hic_edges(
+                    n, int(n * pairs_per_node), seed=rng.integers(1 << 30),
+                    hubness=hubness, compartment_frac=compartment_frac,
+                )
             graphs[split][chrom] = (s, r, v)
             # neighbor motif fraction over the directed edge list
             deg = np.maximum(np.bincount(r, minlength=n), 1)

@@ -353,3 +353,35 @@ def test_finetune_trains_through_panel_operator(tiny_world, monkeypatch):
     losses = [float(line.split(",")[1]) for line in logs]
     assert len(losses) == 2 and np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_degree_coupled_labels_populate_degree_axis():
+    """degree_coupled_frac > 0 must (a) leave the frac=0 rng stream
+    untouched and (b) give per-label mean contact degree a real spread —
+    the axis the reference's delta-vs-degree mechanism figure stratifies
+    on (scripts/analyze_results.py; DEGREE_r05 showed per-label MEAN
+    degree concentrates by CLT without placement coupling)."""
+    from chromegcn_tpu.data.synthetic import make_graph_coupled_dataset
+
+    base, _ = make_graph_coupled_dataset(
+        {"train": {"chr2": 60}}, n_targets=8, seq_length=300, seed=9
+    )
+    again, _ = make_graph_coupled_dataset(
+        {"train": {"chr2": 60}}, n_targets=8, seq_length=300, seed=9
+    )
+    np.testing.assert_array_equal(base["train"].tokens, again["train"].tokens)
+
+    sp, gr = make_graph_coupled_dataset(
+        {"train": {"chr2": 2000}}, n_targets=48, seq_length=300, seed=9,
+        hubness=0.6, degree_coupled_frac=0.5,
+    )
+    s, r, v = gr["train"]["chr2"]
+    deg = np.bincount(r, minlength=2000)
+    t = sp["train"].targets
+    w = np.array([
+        deg[t[:, j] > 0].mean() if t[:, j].sum() else np.nan
+        for j in range(t.shape[1])
+    ])
+    q1, q2 = np.nanquantile(w, [1 / 3, 2 / 3])
+    rel_range = (q2 - q1) / np.nanmean(w)
+    assert rel_range > 0.05, (rel_range, np.nanquantile(w, [0.01, 0.99]))
