@@ -73,6 +73,17 @@ def main() -> None:
         "Hi-C (data/synthetic.synthetic_hic_edges)",
     )
     ap.add_argument("--compartment-frac", type=float, default=0.15)
+    ap.add_argument(
+        "--degree-coupled-frac", type=float, default=0.0,
+        help="fraction of motifs whose placement couples to node degree "
+        "(populates the label-degree mechanism axis; see "
+        "data/synthetic.make_graph_coupled_dataset)",
+    )
+    ap.add_argument(
+        "--mid", action="store_true",
+        help="~30k-window focused-probe scale (e.g. the degree-coupled "
+        "mechanism run) instead of the full ~56k E2E scale",
+    )
     args = ap.parse_args()
 
     import jax
@@ -101,6 +112,16 @@ def main() -> None:
         n_targets, epochs_cnn, epochs_gcn = 16, 2, 4
         seq_length, d_model, batch = 500, 32, 32
         epochs_cnn = min(epochs_cnn, args.epochs_cnn)
+    elif args.mid:
+        split_chroms = {
+            "train": {"chr2": 8000, "chr5": 8000, "chr7": 8000},  # 24,000
+            "valid": {"chr3": 2600},
+            "test": {"chr1": 3000},
+        }
+        n_targets = 919
+        epochs_cnn = min(10, args.epochs_cnn)
+        epochs_gcn = min(12, args.epochs_gcn)
+        seq_length, d_model, batch = 2000, 128, 64
     else:
         train = {f"chr{c}": 2500 for c in (2, 4, 5, 6, 7, 9, 10, 11, 13, 14, 15, 16, 18, 19, 20, 22)}
         split_chroms = {
@@ -132,6 +153,7 @@ def main() -> None:
     splits, graphs = make_graph_coupled_dataset(
         split_chroms, n_targets=n_targets, seq_length=seq_length, seed=0,
         hubness=args.hubness, compartment_frac=args.compartment_frac,
+        degree_coupled_frac=args.degree_coupled_frac,
     )
     artifact.save_dataset(cfg0.data_path, splits)
     for split, per in graphs.items():
@@ -162,6 +184,7 @@ def main() -> None:
             float(np.sort(deg)[-max(1, len(deg) // 100):].sum() / deg.sum()), 4
         ),
         "hubness": args.hubness, "compartment_frac": args.compartment_frac,
+        "degree_coupled_frac": args.degree_coupled_frac,
     }
     print(f"[e2e] train-graph degree stats: {degree_stats}", flush=True)
 
