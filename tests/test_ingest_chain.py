@@ -76,6 +76,7 @@ def test_pipeline_cli_builds_artifacts(raw_world):
     assert all((b, a) in pairs for a, b in pairs)
 
 
+@pytest.mark.slow
 def test_training_cli_runs_on_pipeline_artifacts(raw_world):
     """The exact commands a user runs, chained: pretrain -> save_feats ->
     GCN finetune over the pipeline-produced artifacts, hic adjacency."""

@@ -3,6 +3,11 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+# XLA-compile-heavy (measured: dominates full-suite wall time);
+# default loop skips these - run with --runslow (tests/conftest.py)
+pytestmark = pytest.mark.slow
 
 from chromegcn_tpu.data.constants import SRC_VOCAB
 from chromegcn_tpu.models.chrome import ChromeGCN

@@ -142,6 +142,7 @@ def test_bsr_auto_split_rule():
     )
 
 
+@pytest.mark.slow
 def test_bsr_panels_match_xla_forward_and_grad():
     """Panelled operator (for graphs beyond the VMEM-resident budget):
     forward and gradient must match the flat path / dense reference for an
@@ -189,6 +190,7 @@ def test_bsr_panels_skip_empty_and_jit():
     assert (out[128:] == 0).all()
 
 
+@pytest.mark.slow
 def test_attach_bsr_auto_panels_oversized():
     """attach_bsr switches to the panelled form when 2*N*d exceeds the
     VMEM-resident budget (simulated via a tiny d_model budget override)."""

@@ -83,6 +83,7 @@ def test_finetune_gcn_trains_on_saved_features(tiny_world):
     assert os.path.isdir(os.path.join(ft_cfg.run_dir, "ckpt"))
 
 
+@pytest.mark.slow
 def test_finetune_graph_devices_matches_single_device(tiny_world):
     """-graph_devices 8 must train through the REAL run_finetune path (not a
     demo) and reproduce the single-device loss trajectory — the halo
@@ -231,6 +232,7 @@ def test_save_feats_without_checkpoint_fails_loudly(tmp_path):
         run(cfg, splits, verbose=lambda *a: None)
 
 
+@pytest.mark.slow
 def test_pretrain_data_parallel_matches_single_device(tmp_path):
     """run_pretrain with -dp_devices 2 (mesh DP + multihost-aware batch
     placement) reproduces the single-device loss trajectory."""
@@ -306,6 +308,7 @@ def test_save_feats_data_parallel_matches_single_device(tmp_path):
             )
 
 
+@pytest.mark.slow
 def test_finetune_trains_through_panel_operator(tiny_world, monkeypatch):
     """The auto-panelled operator must work through the REAL trainer, not
     just op-level tests (VERDICT r4 missing 1): shrink the VMEM-resident
