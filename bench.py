@@ -121,15 +121,21 @@ def bench_roofline(graph_bsr, n_edges=None, iters=50, repeats=5):
     acct = streamed_elements(op, d=D)["fwd"]
     x0 = jnp.zeros((N_PAD, D), jnp.float32)
 
-    def step(i, x):
-        return spmm_pallas(op, x) * 0.999 + x * 1e-4
+    # op is a jit ARGUMENT, not a closure: the axon tunnel serializes
+    # closed-over constants into the remote-compile request and rejects
+    # big operators with HTTP 413 (hub-graph operators carry far more
+    # strips than the uniform one — this is how that was found)
+    def body(op, x):
+        return jax.lax.fori_loop(
+            0, iters, lambda i, xx: spmm_pallas(op, xx) * 0.999 + xx * 1e-4, x
+        )
 
-    f = jax.jit(lambda x: jax.lax.fori_loop(0, iters, step, x))
-    jax.block_until_ready(f(x0))
+    f = jax.jit(body)
+    jax.block_until_ready(f(op, x0))
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(f(x0))
+        jax.block_until_ready(f(op, x0))
         times.append((time.perf_counter() - t0) / iters)
     dt = float(np.median(times))
 

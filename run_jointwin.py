@@ -38,6 +38,12 @@ def main():
     ap.add_argument("--workdir", default="/tmp/e2e_r05")
     ap.add_argument("--out", default="JOINTWIN_r05.json")
     ap.add_argument("--epochs", type=int, default=15)
+    ap.add_argument(
+        "--resume", action="store_true",
+        help="continue a prior joint run from its checkpoint up to --epochs "
+        "(run_joint's true-resume path) — for extending the experiment when "
+        "the joint curve is still climbing at the first budget",
+    )
     args = ap.parse_args()
 
     import jax
@@ -79,7 +85,8 @@ def main():
             overwrite=True,
         )
 
-    joint_cfg = Config(joint=True, joint_chunk=128, epochs=args.epochs, **base)
+    joint_cfg = Config(joint=True, joint_chunk=128, epochs=args.epochs,
+                       resume=args.resume, **base)
     staged_cfg = Config(load_pretrained=True, **base)
     from chromegcn_tpu.train import checkpoint as ckpt
 
