@@ -70,6 +70,10 @@ class Config:
     hicsize: str = "500000"        # 125000 | 250000 | 500000 | 1000000
     spmm_impl: str = "auto"
     spmm_dtype: str = "float32"  # float32 (parity) | bfloat16 (fast)
+    # block-sparse operator form: 'auto' (host-side cost model picks BSR on
+    # the dense bucketed graphs, hybrid tile+gather at ultra-sparse
+    # full-chromosome scale — ops/spmm_hybrid.py) | 'bsr' | 'hybrid'
+    spmm_form: str = "auto"
     # fused gated-GCN-layer kernels (ops/gcn_fused.py): 'off' (default —
     # a measured loss on this chip/backend, DESIGN.md §1) | 'on'
     gcn_fused: str = "off"

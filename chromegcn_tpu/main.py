@@ -81,6 +81,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-spmm_impl", choices=["auto", "xla", "pallas"], default="auto")
     p.add_argument("-spmm_dtype", choices=["float32", "bfloat16"], default="float32")
     p.add_argument(
+        "-spmm_form", choices=["auto", "bsr", "hybrid"], default="auto",
+        help="block-sparse operator form: cost-model auto, BSR tiles+strips, "
+        "or hybrid tiles + sorted-gather stragglers (ultra-sparse graphs)",
+    )
+    p.add_argument(
         "-gcn_fused", choices=["off", "on"], default="off",
         help="fused gated-GCN-layer kernels (measured loss on this "
         "chip/backend — DESIGN.md §1; kept for backends where the "

@@ -121,11 +121,13 @@ def _build_one_direction(
 ) -> BSRMatrix:
     """senders index columns [0, n_cols); receivers index rows [0, n_rows).
 
-    count_only=True returns just the padded (nt_pad, ns_pad) block-array
-    shapes the build WOULD produce, skipping the dense materialization —
-    used by the per-process sharded build (parallel.graph.attach_shard_bsr
-    with a multi-process mesh) to agree on globally consistent stacked
-    shapes without every host paying for every shard's blocks.
+    count_only=True returns (nt_pad, ns_pad, nt, ns) — the padded
+    block-array shapes the build WOULD produce plus the unpadded live
+    counts — skipping the dense materialization. Used by the per-process
+    sharded build (parallel.graph.attach_shard_bsr with a multi-process
+    mesh) to agree on globally consistent stacked shapes without every
+    host paying for every shard's blocks, and by the hybrid operator's
+    host-side cost model (ops.spmm_hybrid.estimate_costs_ns).
     """
     if n_cols is None:
         n_cols = n_rows
@@ -184,7 +186,7 @@ def _build_one_direction(
     ns_pad = _bucket(ns, 128)
 
     if count_only:
-        return nt_pad, ns_pad
+        return nt_pad, ns_pad, nt, ns
 
     tiles = np.zeros((nt_pad, tile_r, tile_c), np.float32)
     tile_rb = np.zeros(nt_pad, np.int32)
@@ -643,6 +645,10 @@ def spmm_pallas(graph, x: jax.Array) -> jax.Array:
         return _spmm_bsr(graph, x)
     if isinstance(graph, BSRPanelOperator):
         return _spmm_bsr_panels(graph, x)
+    if type(graph).__name__ == "HybridOperator":
+        from chromegcn_tpu.ops.spmm_hybrid import spmm_hybrid
+
+        return spmm_hybrid(graph, x)
     if isinstance(graph, SparseGraph):
         if isinstance(graph.senders, jax.core.Tracer):
             raise TypeError(

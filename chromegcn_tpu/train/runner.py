@@ -311,9 +311,9 @@ def build_split_graphs(
             hic_edges=None if hic_edges is None else hic_edges[chrom],
         )
         if use_bsr and n_shards <= 1:
-            from chromegcn_tpu.ops.spmm_pallas import attach_bsr
+            from chromegcn_tpu.ops.spmm_hybrid import attach_auto
 
-            g = attach_bsr(g, dtype=cfg.spmm_dtype)
+            g = attach_auto(g, dtype=cfg.spmm_dtype, strategy=cfg.spmm_form)
         graphs[chrom] = g
     return graphs
 
@@ -638,9 +638,9 @@ def run_joint(cfg: Config, splits: Optional[Dict[str, WindowDataset]] = None, ve
                     g, mesh_g, strategy=strategy, spmm_dtype=cfg.spmm_dtype
                 )
             elif use_bsr:
-                from chromegcn_tpu.ops.spmm_pallas import attach_bsr
+                from chromegcn_tpu.ops.spmm_hybrid import attach_auto
 
-                g = attach_bsr(g)
+                g = attach_auto(g, strategy=cfg.spmm_form)
             graphs[split][chrom] = g
 
     wmodel = make_window_model(

@@ -78,6 +78,17 @@ def main() -> None:
     panel_op = bsr_panels_from_graph(graph, d_model=d, bounds=(0, 1024, 2048))
     check("panel kernel fwd", jax.jit(spmm_pallas)(panel_op, x))
 
+    from chromegcn_tpu.ops.spmm_hybrid import hybrid_from_graph, spmm_hybrid
+
+    hyb_op = hybrid_from_graph(graph, dense_region_edges=32)
+    check("hybrid tile+gather fwd", jax.jit(spmm_hybrid)(hyb_op, x))
+    ghyb = jax.jit(jax.grad(lambda xx, op, w_: jnp.sum(spmm_hybrid(op, xx) * w_)))
+    check(
+        "hybrid tile+gather grad",
+        ghyb(x, hyb_op, ref),
+        expect=gref(x, graph, ref),
+    )
+
     mesh = make_mesh(1, axis="graph")
     pg = attach_shard_bsr(partition_graph(graph, 1))
     out_sh = jax.jit(
