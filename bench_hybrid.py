@@ -36,6 +36,56 @@ D = 128
 NCLASS = 919
 
 
+def sweep_thresholds(g, n_pad, args, report):
+    """Forward-SpMM medians across dense_region_edges thresholds, one
+    process (writes report['threshold_sweep'])."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from chromegcn_tpu.ops import spmm_hybrid as hy
+    from chromegcn_tpu.ops.spmm import spmm
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def spmm_loop(graph, x, iters):
+        def body(_, x):
+            return spmm(graph, x, impl="pallas") * 0.999 + 1e-6
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    x0 = jnp.asarray(
+        np.random.default_rng(0).normal(size=(n_pad, D)).astype(np.float32)
+    )
+    rows = []
+    thresholds = [32, 48, 64, 96, 128, 192] if not args.tiny else [32, 96]
+    for thr in thresholds:
+        t0 = time.time()
+        gh = g.replace(bsr=hy.hybrid_from_graph(g, dense_region_edges=thr))
+        build_s = time.time() - t0
+        op = gh.bsr
+        stragglers = int((np.asarray(op.fv) != 0).sum())
+        y = spmm_loop(gh, x0, args.spmm_iters)
+        jax.block_until_ready(y)
+        runs = []
+        for _ in range(args.loops):
+            t0 = time.time()
+            y = spmm_loop(gh, x0, args.spmm_iters)
+            jax.block_until_ready(y)
+            runs.append((time.time() - t0) * 1e3 / args.spmm_iters)
+        med = float(np.median(runs))
+        rows.append({
+            "dense_region_edges": thr,
+            "ms_median": round(med, 3),
+            "ms_runs": [round(r, 3) for r in runs],
+            "straggler_edges": stragglers,
+            "build_s": round(build_s, 1),
+        })
+        print(f"[hybrid] thr={thr}: {med:.3f} ms "
+              f"({stragglers} stragglers)", flush=True)
+        del gh, op
+    report["threshold_sweep"] = rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true", help="CPU plumbing check")
@@ -43,6 +93,11 @@ def main():
     ap.add_argument("--loops", type=int, default=5)
     ap.add_argument("--spmm-iters", type=int, default=20)
     ap.add_argument("--steps-per-loop", type=int, default=8)
+    ap.add_argument(
+        "--sweep", action="store_true",
+        help="sweep dense_region_edges thresholds (fwd SpMM only, one "
+        "process) instead of the full BSR-vs-hybrid shootout",
+    )
     args = ap.parse_args()
 
     import jax
@@ -87,6 +142,16 @@ def main():
 
     report["cost_model"] = hy.estimate_costs_ns(g, d=D)
     print(f"[hybrid] cost model: {report['cost_model']}", flush=True)
+
+    if args.sweep:
+        sweep_thresholds(g, n_pad, args, report)
+        if args.out == "HYBRID_r05.json":  # don't clobber the shootout
+            args.out = "HYBRID_SWEEP_r05.json"
+        out = args.out if not args.tiny else "/tmp/HYBRID_tiny.json"
+        with open(out, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"[hybrid] wrote {out}", flush=True)
+        return
 
     # ---- operators ------------------------------------------------------
     t0 = time.time()

@@ -1,7 +1,8 @@
 """SpMM (sparse adjacency x dense features) — the hot op of the GCN stage.
 
 The reference delegates this single hot op to cuSPARSE via ``torch.spmm``
-(reference: models/SubLayers.py:46). Here it is built TPU-native, twice:
+(reference: models/SubLayers.py:46). Here it is built TPU-native, three
+ways:
 
 - ``spmm_xla``:    gather + segment-sum. XLA lowers this to efficient
                    dynamic-gather / scatter-add on TPU; fully differentiable
@@ -12,6 +13,11 @@ The reference delegates this single hot op to cuSPARSE via ``torch.spmm``
                    edges by source-node tile so each feature tile is read
                    from HBM once per block instead of once per edge, with a
                    custom VJP (backward = transposed-graph SpMM + SDDMM).
+- ``spmm_hybrid``: dense-region Pallas tiles + sorted-gather stragglers
+                   (see ``spmm_hybrid.py``) for ultra-sparse
+                   full-chromosome graphs where the strip population is
+                   per-block-overhead bound; ``attach_auto`` picks the
+                   attached form per graph by a measured cost model.
 
 ``spmm`` picks the implementation: Pallas on TPU, XLA elsewhere.
 """
