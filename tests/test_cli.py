@@ -57,6 +57,14 @@ def test_parser_rejects_unknown_choices():
         build_parser().parse_args(["-adj_type", "banana"])
 
 
+def test_parser_spmm_form_flag():
+    cfg = config_from_args(build_parser().parse_args(["-spmm_form", "hybrid"]))
+    assert cfg.spmm_form == "hybrid"
+    assert config_from_args(build_parser().parse_args([])).spmm_form == "auto"
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["-spmm_form", "dense"])
+
+
 @pytest.fixture(scope="module")
 def cli_world(tmp_path_factory):
     """Tiny on-disk dataset the CLI loads by path (no splits injection —
